@@ -23,23 +23,83 @@ golden-value parity tests against scipy.
 """
 
 from st_ito_tpu.ops.iir import (
-    biquad_coeffs,
-    freqz,
-    fft_filt,
     apply_iir_fsm,
+    biquad_coeffs,
     biquad_scan,
+    fft_filt,
+    freqz,
     lfilter_scan,
     linear_recurrence,
+    next_pow2,
     one_pole_smooth,
+)
+from st_ito_tpu.ops.eq import parametric_eq, parametric_eq_scan, parametric_eq_sos
+from st_ito_tpu.ops.dynamics import (
+    ballistics_parallel,
+    ballistics_scan,
+    compressor,
+    gain_computer,
+    limiter,
+    noise_gate,
+)
+from st_ito_tpu.ops.waveshape import (
+    distortion,
+    fade_in,
+    flip_phase,
+    gain,
+    peak_normalize,
+)
+from st_ito_tpu.ops.delay import chorus, feedback_delay, phaser
+from st_ito_tpu.ops.reverb import freeverb, noise_shaped_ir, noise_shaped_reverb
+from st_ito_tpu.ops.stereo import (
+    from_mid_side,
+    mono_to_stereo,
+    pan,
+    stereo_widener,
+    swap_channels,
+    to_mid_side,
+)
+from st_ito_tpu.ops.loudness import (
+    integrated_loudness,
+    k_weight,
+    loudness_normalize,
+)
+from st_ito_tpu.ops.resample import resample
+from st_ito_tpu.ops.stft import (
+    frame_signal,
+    hann_window,
+    logmel,
+    mel_filterbank,
+    mfcc,
+    power_to_db,
+    spectral_centroid,
+    spectrogram,
+    stft,
 )
 
 __all__ = [
-    "biquad_coeffs",
-    "freqz",
-    "fft_filt",
-    "apply_iir_fsm",
-    "biquad_scan",
-    "lfilter_scan",
-    "linear_recurrence",
-    "one_pole_smooth",
+    # iir
+    "apply_iir_fsm", "biquad_coeffs", "biquad_scan", "fft_filt", "freqz",
+    "lfilter_scan", "linear_recurrence", "next_pow2", "one_pole_smooth",
+    # eq
+    "parametric_eq", "parametric_eq_scan", "parametric_eq_sos",
+    # dynamics
+    "ballistics_parallel", "ballistics_scan", "compressor", "gain_computer",
+    "limiter", "noise_gate",
+    # waveshape
+    "distortion", "fade_in", "flip_phase", "gain", "peak_normalize",
+    # delay
+    "chorus", "feedback_delay", "phaser",
+    # reverb
+    "freeverb", "noise_shaped_ir", "noise_shaped_reverb",
+    # stereo
+    "from_mid_side", "mono_to_stereo", "pan", "stereo_widener",
+    "swap_channels", "to_mid_side",
+    # loudness
+    "integrated_loudness", "k_weight", "loudness_normalize",
+    # resample
+    "resample",
+    # stft
+    "frame_signal", "hann_window", "logmel", "mel_filterbank", "mfcc",
+    "power_to_db", "spectral_centroid", "spectrogram", "stft",
 ]

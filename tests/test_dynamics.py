@@ -1,0 +1,119 @@
+"""Compressor / limiter behavioral and parity tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from st_ito_tpu.ops.dynamics import (
+    ballistics_parallel,
+    ballistics_scan,
+    compressor,
+    gain_computer,
+    limiter,
+)
+
+SR = 48000.0
+RNG = np.random.default_rng(1)
+
+
+def test_gain_computer_regions():
+    env = jnp.array([-40.0, -20.0, 0.0])
+    gr = gain_computer(env, threshold_db=-20.0, ratio=4.0, knee_db=0.01)
+    np.testing.assert_allclose(np.asarray(gr[0]), 0.0, atol=1e-4)  # below
+    np.testing.assert_allclose(np.asarray(gr[1]), 0.0, atol=1e-2)  # at threshold
+    # 20 dB over, ratio 4 -> output 5 dB over -> reduction -15 dB
+    np.testing.assert_allclose(np.asarray(gr[2]), -15.0, atol=0.05)
+
+
+def test_gain_computer_soft_knee_continuous():
+    env = jnp.linspace(-40.0, 0.0, 1001)
+    gr = np.asarray(gain_computer(env, -20.0, 4.0, 12.0))
+    # piecewise C1: finite differences should have no jumps
+    d = np.diff(gr)
+    assert np.max(np.abs(np.diff(d))) < 1e-2
+
+
+def test_ballistics_parallel_equals_serial():
+    """The min-affine associative scan is exact: parallel == serial."""
+    T = 48000
+    c = np.zeros(T, np.float32)
+    c[8000:16000] = -12.0
+    c[30000:31000] = -6.0
+    c += -np.abs(RNG.standard_normal(T).astype(np.float32)) * 0.5
+    aa = np.exp(-1 / (0.010 * SR))  # 10ms attack
+    ar = np.exp(-1 / (0.100 * SR))  # 100ms release
+    g_par = np.asarray(ballistics_parallel(jnp.asarray(c), aa, ar))
+    g_ser = np.asarray(ballistics_scan(jnp.asarray(c), aa, ar))
+    np.testing.assert_allclose(g_par, g_ser, atol=5e-3)
+
+
+def test_ballistics_attack_release_times():
+    """Step down: settles with attack speed; step back: recovers with release."""
+    T = 48000
+    c = np.zeros(T, np.float32)
+    c[1000:24000] = -20.0
+    aa = np.exp(-1 / (0.005 * SR))
+    ar = np.exp(-1 / (0.200 * SR))
+    g = np.asarray(ballistics_parallel(jnp.asarray(c), aa, ar))
+    # ~5 time constants after attack onset, gain reached ~ -20
+    assert g[1000 + int(0.030 * SR)] < -19.0
+    # shortly after release onset, still mostly held (slow release)
+    assert g[24000 + int(0.050 * SR)] < -12.0
+    # long after, recovered
+    assert g[-1] > -2.0
+
+
+def test_compressor_reduces_dynamic_range():
+    T = 48000
+    t = np.arange(T) / SR
+    sig = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    env = np.where((t > 0.4) & (t < 0.6), 1.0, 0.05).astype(np.float32)
+    x = (sig * env)[None, :]  # (1, T)
+    y = np.asarray(
+        compressor(jnp.asarray(x), SR, threshold_db=-20.0, ratio=8.0,
+                   attack_ms=2.0, release_ms=60.0, knee_db=3.0)
+    )
+    loud_in = np.abs(x[0, int(0.5 * SR) - 1000 : int(0.5 * SR) + 1000]).max()
+    loud_out = np.abs(y[0, int(0.5 * SR) - 1000 : int(0.5 * SR) + 1000]).max()
+    quiet_in = np.abs(x[0, int(0.2 * SR) - 1000 : int(0.2 * SR) + 1000]).max()
+    quiet_out = np.abs(y[0, int(0.2 * SR) - 1000 : int(0.2 * SR) + 1000]).max()
+    ratio_in = loud_in / quiet_in
+    ratio_out = loud_out / quiet_out
+    assert ratio_out < ratio_in * 0.5  # range compressed
+    np.testing.assert_allclose(quiet_out, quiet_in, rtol=0.05)  # quiet untouched
+
+
+def test_compressor_makeup_gain():
+    x = jnp.asarray(RNG.standard_normal((1, 8192)).astype(np.float32) * 0.01)
+    y0 = compressor(x, SR, threshold_db=-10.0, makeup_gain_db=0.0)
+    y6 = compressor(x, SR, threshold_db=-10.0, makeup_gain_db=6.0)
+    np.testing.assert_allclose(np.asarray(y6), np.asarray(y0) * 10 ** (6 / 20), rtol=1e-4)
+
+
+def test_compressor_stereo_linked():
+    """Loud left channel should duck the right channel too."""
+    T = 24000
+    left = np.ones(T, np.float32) * 0.9
+    right = np.ones(T, np.float32) * 0.05
+    x = jnp.asarray(np.stack([left, right])[None])  # (1, 2, T)
+    y = np.asarray(compressor(x, SR, threshold_db=-20.0, ratio=10.0,
+                              attack_ms=0.1, release_ms=50.0))
+    # steady state: both channels share the same gain
+    g_l = y[0, 0, -100:].mean() / 0.9
+    g_r = y[0, 1, -100:].mean() / 0.05
+    np.testing.assert_allclose(g_l, g_r, rtol=1e-3)
+    assert g_l < 0.3  # heavy reduction
+
+
+def test_limiter_caps_peaks():
+    T = 48000
+    x = jnp.asarray((RNG.standard_normal((1, T)) * 0.5).astype(np.float32))
+    y = np.asarray(limiter(x, SR, threshold_db=-6.0, release_ms=50.0))
+    # after attack settles, peaks approach the threshold
+    assert np.abs(y[0, 1000:]).max() < 10 ** (-6 / 20) * 1.6
+
+
+def test_compressor_lookahead_shapes():
+    x = jnp.asarray(RNG.standard_normal((2, 2, 4096)).astype(np.float32))
+    y = compressor(x, SR, lookahead_samples=512)
+    assert y.shape == x.shape
+    assert bool(jnp.isfinite(y).all())
