@@ -1,0 +1,248 @@
+"""AFx-Rep backbone: mid/side Cnn14 in pure JAX.
+
+Faithful reimplementation of the reference encoder
+(reference: st_ito/models/panns.py:121-281): torchlibrosa-parity log-mel
+front end (hann/center/reflect, power 2, Slaney mel, ref=1, amin=1e-10),
+minmax input normalization, six 2-conv blocks (64->2048) with 2x2 avg pool
+and BatchNorm, mel-mean then time-max+mean pooling, separate fc_mid/fc_side
+heads.
+
+The parameter pytree uses the torch state_dict naming
+(``conv_block1.conv1.weight`` etc., stored as nested dicts with torch OIHW
+weight layout) so the released checkpoint converts without renaming. Convs
+run via lax.conv_general_dilated with NCHW/OIHW dimension numbers — XLA maps
+these onto the MXU directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from st_ito_tpu.ops.stft import hann_window, mel_filterbank, power_to_db
+
+Params = dict  # nested dict of jnp arrays
+
+
+@dataclasses.dataclass(frozen=True)
+class Cnn14Config:
+    embed_dim: int = 512
+    sample_rate: float = 48000.0
+    window_size: int = 2048
+    hop_size: int = 1024
+    mel_bins: int = 128
+    fmin: float = 20.0
+    fmax: float = 20000.0
+    use_batchnorm: bool = True
+    input_norm: str = "minmax"
+
+    # deployed AFx-Rep config = cfg/model/pretext/param-panns-concat-l2.yaml
+
+
+_CHANNELS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _init_conv(key, out_c, in_c, kh, kw):
+    # xavier_uniform like reference init_layer (panns.py:10-16)
+    fan_in, fan_out = in_c * kh * kw, out_c * kh * kw
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, (out_c, in_c, kh, kw), jnp.float32, -a, a)
+
+
+def _init_bn(c):
+    return {
+        "weight": jnp.ones(c, jnp.float32),
+        "bias": jnp.zeros(c, jnp.float32),
+        "running_mean": jnp.zeros(c, jnp.float32),
+        "running_var": jnp.ones(c, jnp.float32),
+    }
+
+
+def _init_linear(key, out_f, in_f):
+    a = math.sqrt(6.0 / (in_f + out_f))
+    w = jax.random.uniform(key, (out_f, in_f), jnp.float32, -a, a)
+    return {"weight": w, "bias": jnp.zeros(out_f, jnp.float32)}
+
+
+def init_cnn14_params(key, config: Cnn14Config) -> Params:
+    keys = jax.random.split(key, 16)
+    params: Params = {"bn0": _init_bn(config.mel_bins)}
+    in_c = 1
+    for i, out_c in enumerate(_CHANNELS):
+        block = {
+            "conv1": {"weight": _init_conv(keys[2 * i], out_c, in_c, 3, 3)},
+            "conv2": {"weight": _init_conv(keys[2 * i + 1], out_c, out_c, 3, 3)},
+        }
+        if config.use_batchnorm:
+            block["bn1"] = _init_bn(out_c)
+            block["bn2"] = _init_bn(out_c)
+        params[f"conv_block{i + 1}"] = block
+        in_c = out_c
+    params["fc_mid"] = _init_linear(keys[12], config.embed_dim, 2048)
+    params["fc_side"] = _init_linear(keys[13], config.embed_dim, 2048)
+    return params
+
+
+def _conv3x3(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
+def _batchnorm(x, bn, training: bool, axis: int = 1, eps: float = 1e-5):
+    """Eval-mode BN uses running stats; train-mode uses batch stats and
+    returns updated running stats via the caller."""
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+    if training:
+        axes = tuple(i for i in range(x.ndim) if i != axis)
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+    else:
+        mean = bn["running_mean"]
+        var = bn["running_var"]
+    y = (x - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape) + eps)
+    y = y * bn["weight"].reshape(shape) + bn["bias"].reshape(shape)
+    if training:
+        return y, (mean, var)
+    return y, None
+
+
+def _avg_pool_2x2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+    ) / 4.0
+
+
+def _conv_block(x, block, training, dropout_rng, use_batchnorm, pool):
+    h = _conv3x3(x, block["conv1"]["weight"])
+    if use_batchnorm:
+        h, _ = _batchnorm(h, block["bn1"], training)
+    h = jax.nn.relu(h)
+    h = _conv3x3(h, block["conv2"]["weight"])
+    if use_batchnorm:
+        h, _ = _batchnorm(h, block["bn2"], training)
+    h = jax.nn.relu(h)
+    if pool:
+        h = _avg_pool_2x2(h)
+    if training and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 0.8, h.shape)
+        h = jnp.where(keep, h / 0.8, 0.0)
+    return h
+
+
+def _spec_augment(x, rng, time_drop_width=64, time_stripes=2,
+                  freq_drop_width=8, freq_stripes=2):
+    """SpecAugment-style time/freq stripe masking (training only;
+    reference: panns.py:171-176, 247-248). x: (N, 1, T, F)."""
+    N, _, T, F = x.shape
+    keys = jax.random.split(rng, 4)
+    t_idx = jnp.arange(T)
+    f_idx = jnp.arange(F)
+    mask = jnp.ones((N, 1, T, F), x.dtype)
+    for s in range(time_stripes):
+        starts = jax.random.randint(jax.random.fold_in(keys[0], s), (N,), 0,
+                                    max(T - time_drop_width, 1))
+        widths = jax.random.randint(jax.random.fold_in(keys[1], s), (N,), 0,
+                                    time_drop_width + 1)
+        m = ~((t_idx[None, :] >= starts[:, None])
+              & (t_idx[None, :] < (starts + widths)[:, None]))
+        mask = mask * m[:, None, :, None].astype(x.dtype)
+    for s in range(freq_stripes):
+        starts = jax.random.randint(jax.random.fold_in(keys[2], s), (N,), 0,
+                                    max(F - freq_drop_width, 1))
+        widths = jax.random.randint(jax.random.fold_in(keys[3], s), (N,), 0,
+                                    freq_drop_width + 1)
+        m = ~((f_idx[None, :] >= starts[:, None])
+              & (f_idx[None, :] < (starts + widths)[:, None]))
+        mask = mask * m[:, None, None, :].astype(x.dtype)
+    return x * mask
+
+
+def _logmel_frontend(x, config: Cnn14Config, mel_matrix, window):
+    """(N, T) -> (N, 1, frames, mel_bins), torchlibrosa parity."""
+    n_fft, hop = config.window_size, config.hop_size
+    pad = [(0, 0), (n_fft // 2, n_fft // 2)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    T = xp.shape[-1]
+    n_frames = (T - n_fft) // hop + 1
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = xp[:, idx] * window  # (N, frames, n_fft)
+    S = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
+    mel = S @ mel_matrix
+    mel_db = power_to_db(mel, ref=1.0, amin=1e-10, top_db=None)
+    return mel_db[:, None, :, :]
+
+
+def cnn14_apply(
+    params: Params,
+    x: jnp.ndarray,
+    config: Cnn14Config,
+    training: bool = False,
+    rng: jax.Array | None = None,
+):
+    """Forward pass. x: (batch, chs, T) with chs in {1, 2}.
+    Returns (mid_embed, side_embed), each (batch, embed_dim).
+    """
+    batch, chs, seq_len = x.shape
+
+    if chs == 2:
+        x_mid = (x[:, 0, :] + x[:, 1, :]) / 2.0
+        x_side = (x[:, 0, :] - x[:, 1, :]) / 2.0
+        x = jnp.stack([x_mid, x_side], axis=1)
+    x = x.reshape(batch * chs, seq_len)
+
+    mel_matrix = mel_filterbank(
+        config.sample_rate, config.window_size, config.mel_bins,
+        config.fmin, config.fmax,
+    )
+    window = hann_window(config.window_size)
+    h = _logmel_frontend(x, config, mel_matrix, window)  # (N,1,T',F)
+
+    if config.input_norm == "batchnorm":
+        ht = jnp.swapaxes(h, 1, 3)  # (N,F,T',1)
+        ht, _ = _batchnorm(ht, params["bn0"], training)
+        h = jnp.swapaxes(ht, 1, 3)
+    elif config.input_norm == "minmax":
+        h = jnp.clip(h, -80.0, 40.0)
+        h = (h + 80.0) / 120.0
+        h = h * 2.0 - 1.0
+    elif config.input_norm == "none":
+        pass
+    else:
+        raise ValueError(f"Invalid input_norm: {config.input_norm}")
+
+    if training and rng is not None:
+        rng, aug_rng = jax.random.split(rng)
+        h = _spec_augment(h, aug_rng)
+
+    for i in range(6):
+        pool = i < 5  # block6 uses pool_size (1,1) (panns.py:260)
+        drop_rng = None
+        if training and rng is not None:
+            rng, drop_rng = jax.random.split(rng)
+        h = _conv_block(h, params[f"conv_block{i + 1}"], training, drop_rng,
+                        config.use_batchnorm, pool)
+
+    h = jnp.mean(h, axis=3)  # mean over mel
+    h = jnp.max(h, axis=2) + jnp.mean(h, axis=2)  # (N, 2048)
+
+    h = h.reshape(batch, chs, -1)
+
+    def linear(p, v):
+        return v @ p["weight"].T + p["bias"]
+
+    if chs == 1:
+        mid = linear(params["fc_mid"], h[:, 0, :])
+        side = mid
+    else:
+        mid = linear(params["fc_mid"], h[:, 0, :])
+        side = linear(params["fc_side"], h[:, 1, :])
+    return mid, side

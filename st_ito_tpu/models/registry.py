@@ -1,0 +1,168 @@
+"""Model registry + embedding API — the framework's public metric surface.
+
+Mirrors the reference's loader/embed pairs (reference: st_ito/utils.py):
+``load_param_model``/``get_param_embeds`` for AFx-Rep (utils.py:444-551),
+MFCC feature embeds (utils.py:100-159), MIR feature embeds (utils.py:66-94).
+Every ``get_*_embeds`` returns a dict of L2-normalized embeddings keyed by
+head name ("mid"/"side"/"mono"), exactly like the reference, so ITO fitness
+code is head-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from st_ito_tpu.models import convert as _convert
+from st_ito_tpu.models.cnn14 import Cnn14Config, cnn14_apply, init_cnn14_params
+from st_ito_tpu.ops.resample import resample
+from st_ito_tpu.ops.stft import mfcc as _mfcc
+
+
+@dataclasses.dataclass
+class ParamModel:
+    """AFx-Rep model handle: params pytree + config + jitted apply."""
+
+    params: dict
+    config: Cnn14Config
+    embed_dim: int = 512
+
+    def __post_init__(self):
+        cfg = self.config
+        self._apply = jax.jit(
+            lambda p, x: cnn14_apply(p, x, cfg, training=False)
+        )
+
+    def __call__(self, x: jnp.ndarray):
+        return self._apply(self.params, x)
+
+
+def load_param_model(
+    ckpt_path: str | None = None,
+    use_gpu: bool = False,  # accepted for API parity; device placement is JAX's
+    allow_random: bool = False,
+    seed: int = 0,
+) -> ParamModel:
+    """Load the AFx-Rep encoder.
+
+    Search order: explicit ckpt_path -> ./tmp/afx-rep.{npz,ckpt} ->
+    $STITO_CKPT_DIR. A torch .ckpt is converted on the fly (and cached as
+    .npz next to it). With allow_random=True a randomly initialized encoder
+    is returned when no checkpoint exists (useful for tests/benchmarks in
+    offline environments).
+    """
+    candidates = []
+    if ckpt_path is not None:
+        candidates.append(ckpt_path)
+    for root in (os.path.join(os.getcwd(), "tmp"), os.environ.get("STITO_CKPT_DIR", "")):
+        if root:
+            candidates.append(os.path.join(root, "afx-rep.npz"))
+            candidates.append(os.path.join(root, "afx-rep.ckpt"))
+
+    for path in candidates:
+        if not os.path.isfile(path):
+            continue
+        if path.endswith(".npz"):
+            params = _convert.load_params_npz(path)
+            config = Cnn14Config()
+            return ParamModel(params=params, config=config,
+                              embed_dim=config.embed_dim)
+        params, config = _convert.load_torch_checkpoint(path)
+        npz_path = os.path.splitext(path)[0] + ".npz"
+        try:
+            _convert.save_params_npz(params, npz_path)
+        except OSError:
+            pass
+        return ParamModel(params=params, config=config, embed_dim=config.embed_dim)
+
+    if allow_random:
+        config = Cnn14Config()
+        params = init_cnn14_params(jax.random.PRNGKey(seed), config)
+        return ParamModel(params=params, config=config, embed_dim=config.embed_dim)
+
+    raise FileNotFoundError(
+        "afx-rep checkpoint not found (looked in: "
+        + ", ".join(candidates)
+        + "). Download https://huggingface.co/csteinmetz1/afx-rep/resolve/main/"
+        "afx-rep.ckpt to ./tmp/, or pass allow_random=True."
+    )
+
+
+def _l2_normalize(e: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), eps)
+
+
+def get_param_embeds(
+    x: jnp.ndarray,
+    model: ParamModel,
+    sample_rate: float,
+    requires_grad: bool = False,  # API parity; grads always flow under jax.grad
+    peak_normalize: bool = True,
+    dropout: float = 0.0,
+    rng: jax.Array | None = None,
+) -> dict[str, jnp.ndarray]:
+    """AFx-Rep embeddings of x (bs, chs, T) ->
+    {"mid": (bs, 512), "side": (bs, 512)}, L2-normalized
+    (reference: st_ito/utils.py:444-508)."""
+    if sample_rate != model.config.sample_rate:
+        x = resample(x, int(sample_rate), int(model.config.sample_rate))
+
+    if peak_normalize:
+        peak = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
+        x = x / jnp.maximum(peak, 1e-8)
+
+    mid, side = model(x) if not requires_grad else cnn14_apply(
+        model.params, x, model.config, training=False
+    )
+
+    if dropout > 0.0 and rng is not None:
+        k1, k2 = jax.random.split(rng)
+        keep = 1.0 - dropout
+        mid = jnp.where(jax.random.bernoulli(k1, keep, mid.shape), mid / keep, 0.0)
+        side = jnp.where(jax.random.bernoulli(k2, keep, side.shape), side / keep, 0.0)
+
+    mid = jnp.nan_to_num(mid)
+    side = jnp.nan_to_num(side)
+    return {"mid": _l2_normalize(mid), "side": _l2_normalize(side)}
+
+
+# ---------------- MFCC feature metric (reference: utils.py:100-159) --------
+
+
+@dataclasses.dataclass
+class MFCCFeatureExtractor:
+    sample_rate: int = 48000
+    n_mfcc: int = 25
+    embed_dim: int = 75
+
+
+def load_mfcc_feature_extractor(use_gpu: bool = False) -> MFCCFeatureExtractor:
+    return MFCCFeatureExtractor()
+
+
+def get_mfcc_feature_embeds(
+    x: jnp.ndarray,
+    model: MFCCFeatureExtractor,
+    sample_rate: float,
+    midside: bool = False,
+    **kwargs,
+) -> dict[str, jnp.ndarray]:
+    bs, chs, _ = x.shape
+    if sample_rate != model.sample_rate:
+        x = resample(x, int(sample_rate), model.sample_rate)
+    if chs == 2 and midside:
+        x = jnp.stack([x[:, 0] + x[:, 1], x[:, 0] - x[:, 1]], axis=1)
+    else:
+        x = jnp.mean(x, axis=1, keepdims=True)
+    M = _mfcc(x, model.sample_rate, n_mfcc=model.n_mfcc)  # (bs, ch, frames, n_mfcc)
+    M = jnp.swapaxes(M, -1, -2)  # stats over frames
+    feats = jnp.concatenate(
+        [M.mean(axis=-1), M.std(axis=-1), M.max(axis=-1)], axis=-1
+    ).reshape(bs, -1)
+    return {"mono": _l2_normalize(feats)}
