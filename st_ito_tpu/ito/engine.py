@@ -1,0 +1,564 @@
+"""ITO methods: CMA-ES style transfer, staged ES, gradient ITO, baselines.
+
+API mirrors the reference (reference: st_ito/style_transfer.py:121-692,
+scripts/run_optim.py:39-297) with the chain spec replacing the plugin dicts.
+
+Performance architecture: ``make_fitness_fn`` compiles
+render(whole population) -> embed(one batch) -> -cosine into a single jitted
+XLA program. One device launch per CMA-ES generation, instead of the
+reference's popsize serial C++ renders + one GPU forward. With a mesh, the
+population axis is sharded across devices and XLA partitions the program
+(SPMD); CMA-ES ask/tell stays on host.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from st_ito_tpu.chain import ChainSpec, build_render_fn, parameters_to_dict
+from st_ito_tpu.ito.cmaes import CMAES
+from st_ito_tpu.models.registry import get_param_embeds
+
+
+# --------------------------------------------------------------------------
+# fitness program
+# --------------------------------------------------------------------------
+
+
+def _embedding_distance(output_embeds, target_embeds, content_scale=None):
+    """Mean over heads of -cosine(out, target); L2-normalized inputs make
+    cosine a dot product (reference: st_ito/style_transfer.py:545-571)."""
+    dists = []
+    for name, out in output_embeds.items():
+        tgt = target_embeds[name]
+        d = -jnp.sum(out * tgt, axis=-1) / (
+            jnp.linalg.norm(out, axis=-1) * jnp.linalg.norm(tgt, axis=-1) + 1e-12
+        )
+        if content_scale is not None:
+            d = content_scale * d
+        dists.append(d)
+    return jnp.stack(dists, axis=0)
+
+
+def make_fitness_fn(
+    chain: ChainSpec,
+    model,
+    sample_rate: int,
+    num_channels: int,
+    embed_func: Callable = get_param_embeds,
+    content_model=None,
+    content_embed_func: Callable | None = None,
+    dropout: float = 0.0,
+    normalize_stages: bool = False,
+    mesh: Mesh | None = None,
+    return_audio: bool = False,
+):
+    """Build fitness(W (pop,P), x (C,T), target_embeds, rng) -> fvals (pop,)
+    (or (fvals, embeds, audio) when return_audio). Jitted; one XLA program.
+
+    With ``mesh`` (axis name "pop"), W is sharded over devices and the render
+    + embed partition across them — the TPU replacement for the reference's
+    mp.Pool render parallelism (reference: style_transfer.py:499-502).
+    """
+    render = build_render_fn(chain, sample_rate, num_channels,
+                             normalize_stages=normalize_stages)
+
+    # Model weights flow through the jit boundary as arguments — closing
+    # over ~80M params would bake them into the HLO as constants and blow
+    # past compile-service size limits.
+    model_params = getattr(model, "params", None)
+    content_params = getattr(content_model, "params", None)
+
+    def fitness_impl(mparams, cparams, W, x, target_embeds,
+                     target_content_embeds, rng):
+        Y = jax.vmap(render, in_axes=(0, None))(W, x)  # (pop, C, T)
+        output_embeds = embed_func(
+            Y, model, sample_rate,
+            dropout=dropout, rng=rng if dropout > 0.0 else None,
+            params=mparams,
+        )
+        dists = _embedding_distance(output_embeds, target_embeds)
+        if content_model is not None and target_content_embeds is not None:
+            out_content = content_embed_func(Y, content_model, sample_rate,
+                                             params=cparams)
+            cdists = _embedding_distance(out_content, target_content_embeds,
+                                         content_scale=2.0)
+            dists = jnp.concatenate([dists, cdists], axis=0)
+        fvals = jnp.mean(dists, axis=0)
+        if return_audio:
+            return fvals, output_embeds, Y
+        return fvals
+
+    if mesh is not None:
+        w_sharding = NamedSharding(mesh, P("pop", None))
+        rep = NamedSharding(mesh, P())
+        jitted = jax.jit(
+            fitness_impl,
+            in_shardings=(rep, rep, w_sharding, rep, rep, rep, rep),
+        )
+    else:
+        jitted = jax.jit(fitness_impl)
+
+    def fitness(W, x, target_embeds, target_content_embeds, rng):
+        return jitted(model_params, content_params, W, x, target_embeds,
+                      target_content_embeds, rng)
+
+    return fitness
+
+
+def _crop_or_pad(x: jnp.ndarray, crop_len: int, start: int) -> jnp.ndarray:
+    """Same-crop-for-population windowing
+    (reference: style_transfer.py:505-518)."""
+    T = x.shape[-1]
+    if T > crop_len:
+        return jax.lax.dynamic_slice_in_dim(x, start, crop_len, axis=-1)
+    if T < crop_len:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, crop_len - T)]
+        return jnp.pad(x, pad)
+    return x
+
+
+def _peak_norm(x):
+    return x / jnp.maximum(jnp.max(jnp.abs(x)), 1e-8)
+
+
+# --------------------------------------------------------------------------
+# main ES method
+# --------------------------------------------------------------------------
+
+
+def run_es(
+    input_audio: jnp.ndarray,
+    target_audio: jnp.ndarray,
+    sample_rate: int,
+    chain: ChainSpec,
+    model,
+    embed_func: Callable = get_param_embeds,
+    content_model=None,
+    content_embed_func: Callable | None = None,
+    max_iters: int = 100,
+    w0: np.ndarray | None = None,
+    find_w0: bool = True,
+    sigma0: float = 0.1,
+    distance: str = "cosine",
+    random_crop: bool = False,
+    crop_len: int = 262144,
+    popsize: int = 32,
+    parallel: bool = True,  # accepted for API parity; always parallel on TPU
+    dropout: float = 0.0,
+    savepop: bool = False,
+    run_dir: str = ".",
+    normalize_stages: bool = False,
+    seed: int = 0,
+    mesh: Mesh | None = None,
+    early_stop_patience: int = 10,
+    early_stop_threshold: float = -0.01,
+    verbose: bool = True,
+    **kwargs,
+):
+    """CMA-ES inference-time optimization
+    (reference: st_ito/style_transfer.py:399-692).
+
+    input_audio/target_audio: (1, C, T). Returns the reference's result dict
+    plus timing/throughput statistics.
+    """
+    rng = np.random.default_rng(seed)
+    jrng = jax.random.PRNGKey(seed)
+
+    input_audio = input_audio / jnp.maximum(jnp.max(jnp.abs(input_audio)), 1e-8)
+    target_audio = target_audio / jnp.maximum(jnp.max(jnp.abs(target_audio)), 1e-8)
+
+    target_embed = embed_func(target_audio, model, sample_rate)
+    target_content_embed = None
+    if content_model is not None:
+        target_content_embed = content_embed_func(
+            target_audio, content_model, sample_rate
+        )
+
+    num_params = chain.num_params
+    x_full = input_audio[0]  # (C, T)
+    T = x_full.shape[-1]
+    eval_len = min(T, crop_len) if not random_crop else crop_len
+
+    fitness = make_fitness_fn(
+        chain, model, sample_rate, x_full.shape[0], embed_func,
+        content_model, content_embed_func, dropout,
+        normalize_stages, mesh, return_audio=savepop,
+    )
+
+    def eval_W(W, iteration_rng, dropout_active=True):
+        if random_crop and (T - crop_len) > 16384:
+            start = int(rng.integers(16384, T - crop_len))
+        else:
+            start = 0
+        x = _crop_or_pad(x_full, eval_len, start)
+        out = fitness(jnp.asarray(W, jnp.float32), x, target_embed,
+                      target_content_embed, iteration_rng)
+        if savepop:
+            fvals, embeds, audio = out
+            return np.asarray(fvals), embeds, audio
+        return np.asarray(out), None, None
+
+    t_start = time.time()
+    total_evals = 0
+
+    # find the best starting point among random candidates
+    # (reference: style_transfer.py:576-603)
+    if find_w0:
+        W_init = rng.random((popsize, num_params))
+        jrng, sub = jax.random.split(jrng)
+        fvals, embeds, audio = eval_W(W_init, sub)
+        total_evals += popsize
+        w0 = W_init[int(np.argmin(fvals))]
+        if savepop:
+            _savepop_to_disk(-1, fvals, audio, run_dir, sample_rate)
+    elif w0 is None:
+        w0 = np.full(num_params, 0.5)
+    else:
+        w0 = np.asarray(w0, np.float64)
+
+    es = CMAES(w0, sigma0, popsize=popsize, bounds=(0.0, 1.0), seed=seed)
+
+    fval_history: list[float] = []
+    wopt_history: list[np.ndarray] = []
+    iters_without_improvement = 0
+
+    for iteration in range(max_iters):
+        W = es.ask()
+        jrng, sub = jax.random.split(jrng)
+        # no dropout on the final iteration (reference: :632-635)
+        fvals, embeds, audio = eval_W(W, sub)
+        total_evals += popsize
+        es.tell(W, fvals)
+        if verbose:
+            es.disp()
+
+        wopt_history.append(es.result[0])
+        fval_history.append(es.result[1])
+
+        if savepop:
+            _savepop_to_disk(iteration, fvals, audio, run_dir, sample_rate)
+
+        # early stopping (reference: :654-670)
+        if iteration > 0:
+            fval_delta = float(np.min(fvals)) - min(fval_history)
+        else:
+            fval_delta = -0.02
+        if fval_delta > early_stop_threshold:
+            iters_without_improvement += 1
+        else:
+            iters_without_improvement = 0
+        if iters_without_improvement > early_stop_patience:
+            if verbose:
+                print("Stopping early due to no improvement.")
+            break
+
+    elapsed = time.time() - t_start
+    wopt, fopt = es.result
+
+    render = build_render_fn(chain, sample_rate, x_full.shape[0],
+                             normalize_stages=normalize_stages)
+    output_audio = render(jnp.asarray(wopt, jnp.float32), x_full)[None]
+
+    return {
+        "output_audio": output_audio,
+        "params": parameters_to_dict(wopt, chain),
+        "fopt": fopt,
+        "wopt": wopt,
+        "fval_history": fval_history,
+        "wopt_history": wopt_history,
+        "time_elapsed": elapsed,
+        "total_evals": total_evals,
+        "evals_per_sec": total_evals / max(elapsed, 1e-9),
+    }
+
+
+def _savepop_to_disk(iteration, fvals, audio, run_dir, sample_rate):
+    """(reference: st_ito/style_transfer.py:362-396)"""
+    from st_ito_tpu.utils import save_audio
+
+    pop_dir = os.path.join(run_dir, f"pop_{iteration}")
+    os.makedirs(pop_dir, exist_ok=True)
+    audio = np.asarray(audio)
+    order = np.argsort(np.asarray(fvals))
+    for rank, idx in enumerate(order):
+        a = audio[idx]
+        a = a / max(np.abs(a).max(), 1e-8)
+        save_audio(
+            os.path.join(pop_dir, f"output_audio_pop_{rank}_fval_{fvals[idx]:0.4e}.wav"),
+            a, sample_rate,
+        )
+
+
+# --------------------------------------------------------------------------
+# staged ES (reference: scripts/run_optim.py:39-234)
+# --------------------------------------------------------------------------
+
+
+def run_staged_es(
+    input_audio: jnp.ndarray,
+    target_audio: jnp.ndarray,
+    sample_rate: int,
+    chain: ChainSpec,
+    model,
+    embed_func: Callable = get_param_embeds,
+    max_iters: int = 25,
+    popsize: int = 32,
+    sigma0: float = 0.33,
+    dropout: float = 0.0,
+    seed: int = 0,
+    mesh: Mesh | None = None,
+    verbose: bool = True,
+    **kwargs,
+):
+    """Optimize one stage at a time, freezing earlier stages at their optimum."""
+    input_audio = input_audio / jnp.maximum(jnp.max(jnp.abs(input_audio)), 1e-8)
+    target_audio = target_audio / jnp.maximum(jnp.max(jnp.abs(target_audio)), 1e-8)
+    target_embed = embed_func(target_audio, model, sample_rate)
+
+    x_full = input_audio[0]
+    fitness = make_fitness_fn(chain, model, sample_rate, x_full.shape[0],
+                              embed_func, dropout=dropout, mesh=mesh)
+
+    rng = np.random.default_rng(seed)
+    jrng = jax.random.PRNGKey(seed)
+    w_full = np.asarray(chain.init_params(), np.float64)
+    fval_history = []
+    t_start = time.time()
+    total_evals = 0
+
+    for stage_idx, (stage, start, end) in enumerate(chain.stage_slices()):
+        width = end - start
+        es = CMAES(w_full[start:end].copy(), sigma0, popsize=popsize,
+                   bounds=(0.0, 1.0), seed=seed + stage_idx)
+        for iteration in range(max_iters):
+            W_stage = es.ask()
+            W = np.tile(w_full, (popsize, 1))
+            W[:, start:end] = W_stage
+            jrng, sub = jax.random.split(jrng)
+            fvals = np.asarray(
+                fitness(jnp.asarray(W, jnp.float32), x_full, target_embed,
+                        None, sub)
+            )
+            total_evals += popsize
+            es.tell(W_stage, fvals)
+            fval_history.append(es.result[1])
+        w_full[start:end] = es.result[0]
+        if verbose:
+            print(f"stage {stage.name}: fbest {es.result[1]:+.5f}")
+
+    elapsed = time.time() - t_start
+    render = build_render_fn(chain, sample_rate, x_full.shape[0])
+    output_audio = render(jnp.asarray(w_full, jnp.float32), x_full)[None]
+    return {
+        "output_audio": output_audio,
+        "params": parameters_to_dict(w_full, chain),
+        "fopt": fval_history[-1] if fval_history else np.inf,
+        "wopt": w_full,
+        "fval_history": fval_history,
+        "wopt_history": [w_full],
+        "time_elapsed": elapsed,
+        "total_evals": total_evals,
+        "evals_per_sec": total_evals / max(elapsed, 1e-9),
+    }
+
+
+# --------------------------------------------------------------------------
+# gradient ITO (reference: scripts/run_optim.py:237-297)
+# --------------------------------------------------------------------------
+
+
+def run_autodiff(
+    input_audio: jnp.ndarray,
+    target_audio: jnp.ndarray,
+    sample_rate: int,
+    model,
+    embed_func: Callable = get_param_embeds,
+    chain: ChainSpec | None = None,
+    lr: float = 1e-2,
+    n_iters: int = 300,
+    dropout: float = 0.0,
+    seed: int = 0,
+    verbose: bool = True,
+    **kwargs,
+):
+    """First-class gradient ITO: Adam on sigmoid-parameterized params through
+    the differentiable chain. The reference needed the 51-param dasp
+    processor for this; here ANY chain is differentiable. With chain=None the
+    reference's complex processor (51 params) is used.
+    """
+    from st_ito_tpu import proc
+
+    input_audio = input_audio / jnp.maximum(jnp.max(jnp.abs(input_audio)), 1e-8)
+    target_audio = target_audio / jnp.maximum(jnp.max(jnp.abs(target_audio)), 1e-8)
+    target_embed = embed_func(target_audio, model, sample_rate)
+
+    if chain is None:
+        num_params = proc.NUM_COMPLEX_PARAMS
+
+        def render_batch(w):
+            return proc.apply_complex_autodiff_processor(
+                input_audio, w[None, :], sample_rate
+            )
+    else:
+        num_params = chain.num_params
+        render = build_render_fn(chain, sample_rate, input_audio.shape[1])
+
+        def render_batch(w):
+            return render(w, input_audio[0])[None]
+
+    model_params = getattr(model, "params", None)
+
+    def loss_fn(theta, mparams, rng):
+        w = jax.nn.sigmoid(theta)
+        y = render_batch(w)
+        out_embeds = embed_func(y, model, sample_rate,
+                                dropout=dropout,
+                                rng=rng if dropout > 0 else None,
+                                params=mparams)
+        d = _embedding_distance(out_embeds, target_embed)
+        return jnp.mean(d)
+
+    theta = jnp.zeros(num_params)  # sigmoid(0) = 0.5
+    opt = optax.adam(lr)
+    opt_state = opt.init(theta)
+
+    def _step(th, st, mparams, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(th, mparams, rng)
+        updates, st = opt.update(grads, st)
+        th = optax.apply_updates(th, updates)
+        return th, st, loss
+
+    step = jax.jit(_step)
+
+    jrng = jax.random.PRNGKey(seed)
+    fval_history = []
+    wopt_history = []
+    t_start = time.time()
+    for i in range(n_iters):
+        jrng, sub = jax.random.split(jrng)
+        theta, opt_state, loss = step(theta, opt_state, model_params, sub)
+        fval_history.append(float(loss))
+        wopt_history.append(np.asarray(jax.nn.sigmoid(theta)))
+        if verbose and (i % 25 == 0 or i == n_iters - 1):
+            print(f"iter {i:4d}  loss {float(loss):+.6f}")
+
+    elapsed = time.time() - t_start
+    w = jax.nn.sigmoid(theta)
+    output_audio = render_batch(w)
+    params = (
+        parameters_to_dict(np.asarray(w), chain) if chain is not None
+        else {f"{i}": float(v) for i, v in enumerate(np.asarray(w))}
+    )
+    return {
+        "output_audio": output_audio,
+        "params": params,
+        "fopt": fval_history[-1],
+        "wopt": np.asarray(w),
+        "fval_history": fval_history,
+        "wopt_history": wopt_history,
+        "time_elapsed": elapsed,
+        "total_evals": n_iters,
+        "evals_per_sec": n_iters / max(elapsed, 1e-9),
+    }
+
+
+
+
+# --------------------------------------------------------------------------
+# baselines (reference: st_ito/style_transfer.py:121-318)
+# --------------------------------------------------------------------------
+
+
+def run_input(input_audio, target_audio, sample_rate, chain=None, model=None,
+              *args, **kwargs):
+    return {"output_audio": input_audio, "time_elapsed": 0.0}
+
+
+def run_random(input_audio, target_audio, sample_rate, chain: ChainSpec,
+               model=None, seed: int = 0, **kwargs):
+    rng = np.random.default_rng(seed)
+    w = rng.random(chain.num_params)
+    t0 = time.time()
+    render = build_render_fn(chain, sample_rate, input_audio.shape[1])
+    y = render(jnp.asarray(w, jnp.float32), input_audio[0])[None]
+    return {
+        "output_audio": y,
+        "param_dict": parameters_to_dict(w, chain),
+        "time_elapsed": time.time() - t0,
+    }
+
+
+def run_rule_based(
+    input_audio,
+    target_audio,
+    sample_rate,
+    chain=None,
+    model=None,
+    n_fft: int = 16384,
+    n_taps: int = 2048,
+    **kwargs,
+):
+    """Matched-EQ FIR + iterative compressor-threshold hill climb on the LUFS
+    delta (reference: st_ito/style_transfer.py:184-278). Host-side
+    scipy filter design; rendering on device."""
+    import scipy.signal
+
+    from st_ito_tpu.ops.dynamics import compressor
+    from st_ito_tpu.ops.loudness import integrated_loudness
+
+    t0 = time.time()
+    bs = input_audio.shape[0]
+    outs = []
+    for b in range(bs):
+        x = np.asarray(input_audio[b])
+        t = np.asarray(target_audio[b])
+        x = x / max(np.abs(x).max(), 1e-8) * 10 ** (-12 / 20)
+        t = t / max(np.abs(t).max(), 1e-8) * 10 ** (-12 / 20)
+
+        def avg_spec(sig):
+            mono = sig.mean(axis=0)
+            f, _, Z = scipy.signal.stft(mono, nperseg=n_fft, noverlap=n_fft // 2,
+                                        padded=True)
+            return np.abs(Z).mean(axis=-1)
+
+        in_spec = scipy.signal.savgol_filter(avg_spec(x), 1025, 2)
+        ref_spec = scipy.signal.savgol_filter(avg_spec(t), 1025, 2)
+        response = ref_spec / np.maximum(in_spec, 1e-10)
+        response[-1] = 0.0
+        freqs = np.linspace(0, 1.0, (n_fft // 2) + 1)
+        fir = scipy.signal.firwin2(n_taps, freqs * (sample_rate / 2), response,
+                                   fs=sample_rate)
+        x_filt = scipy.signal.lfilter(fir, [1.0], x).astype(np.float32)
+        x_filt = x_filt / max(np.abs(x_filt).max(), 1e-8) * 10 ** (-12 / 20)
+
+        target_lufs = float(integrated_loudness(jnp.asarray(t), sample_rate))
+        x_cur = jnp.asarray(x_filt)
+        cur_lufs = float(integrated_loudness(x_cur, sample_rate))
+        delta = target_lufs - cur_lufs
+        threshold_db = 0.0
+        x_prev = x_cur
+        while delta > 0.25 and threshold_db > -80.0:
+            x_prev = x_cur
+            y = compressor(jnp.asarray(x_filt), sample_rate,
+                           threshold_db=threshold_db, ratio=3.0,
+                           attack_ms=1.0, release_ms=100.0, knee_db=0.5)
+            y = y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-8) * 10 ** (-12 / 20)
+            cur_lufs = float(integrated_loudness(y, sample_rate))
+            delta = target_lufs - cur_lufs
+            threshold_db -= 2.0
+            x_cur = y
+        outs.append(np.asarray(x_cur))
+    return {
+        "output_audio": jnp.asarray(np.stack(outs)),
+        "time_elapsed": time.time() - t0,
+    }

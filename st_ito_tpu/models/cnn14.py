@@ -41,11 +41,14 @@ class Cnn14Config:
     fmax: float = 20000.0
     use_batchnorm: bool = True
     input_norm: str = "minmax"
+    base_channels: int = 64  # 64 = the reference Cnn14; smaller for tests
 
     # deployed AFx-Rep config = cfg/model/pretext/param-panns-concat-l2.yaml
 
-
-_CHANNELS = (64, 128, 256, 512, 1024, 2048)
+    @property
+    def channels(self) -> tuple[int, ...]:
+        b = self.base_channels
+        return (b, 2 * b, 4 * b, 8 * b, 16 * b, 32 * b)
 
 
 def _init_conv(key, out_c, in_c, kh, kw):
@@ -74,7 +77,7 @@ def init_cnn14_params(key, config: Cnn14Config) -> Params:
     keys = jax.random.split(key, 16)
     params: Params = {"bn0": _init_bn(config.mel_bins)}
     in_c = 1
-    for i, out_c in enumerate(_CHANNELS):
+    for i, out_c in enumerate(config.channels):
         block = {
             "conv1": {"weight": _init_conv(keys[2 * i], out_c, in_c, 3, 3)},
             "conv2": {"weight": _init_conv(keys[2 * i + 1], out_c, out_c, 3, 3)},
@@ -84,8 +87,8 @@ def init_cnn14_params(key, config: Cnn14Config) -> Params:
             block["bn2"] = _init_bn(out_c)
         params[f"conv_block{i + 1}"] = block
         in_c = out_c
-    params["fc_mid"] = _init_linear(keys[12], config.embed_dim, 2048)
-    params["fc_side"] = _init_linear(keys[13], config.embed_dim, 2048)
+    params["fc_mid"] = _init_linear(keys[12], config.embed_dim, config.channels[-1])
+    params["fc_side"] = _init_linear(keys[13], config.embed_dim, config.channels[-1])
     return params
 
 

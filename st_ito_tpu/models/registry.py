@@ -27,7 +27,14 @@ from st_ito_tpu.ops.stft import mfcc as _mfcc
 
 @dataclasses.dataclass
 class ParamModel:
-    """AFx-Rep model handle: params pytree + config + jitted apply."""
+    """AFx-Rep model handle: params pytree + config.
+
+    ``apply(params, x)`` is the pure function for use inside larger jitted
+    programs — pass the pytree through the jit boundary so the ~80M weights
+    become program *arguments*, never baked-in constants (baking them blows
+    the serialized HLO past compile-service limits). ``__call__`` is the
+    eager convenience path (jitted, params as argument).
+    """
 
     params: dict
     config: Cnn14Config
@@ -35,12 +42,15 @@ class ParamModel:
 
     def __post_init__(self):
         cfg = self.config
-        self._apply = jax.jit(
+        self._jitted = jax.jit(
             lambda p, x: cnn14_apply(p, x, cfg, training=False)
         )
 
+    def apply(self, params: dict, x: jnp.ndarray):
+        return cnn14_apply(params, x, self.config, training=False)
+
     def __call__(self, x: jnp.ndarray):
-        return self._apply(self.params, x)
+        return self._jitted(self.params, x)
 
 
 def load_param_model(
@@ -106,10 +116,15 @@ def get_param_embeds(
     peak_normalize: bool = True,
     dropout: float = 0.0,
     rng: jax.Array | None = None,
+    params: dict | None = None,
 ) -> dict[str, jnp.ndarray]:
     """AFx-Rep embeddings of x (bs, chs, T) ->
     {"mid": (bs, 512), "side": (bs, 512)}, L2-normalized
-    (reference: st_ito/utils.py:444-508)."""
+    (reference: st_ito/utils.py:444-508).
+
+    Inside a jitted program, pass the weights via ``params`` so they enter
+    through the jit boundary instead of being captured as constants.
+    """
     if sample_rate != model.config.sample_rate:
         x = resample(x, int(sample_rate), int(model.config.sample_rate))
 
@@ -117,9 +132,12 @@ def get_param_embeds(
         peak = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
         x = x / jnp.maximum(peak, 1e-8)
 
-    mid, side = model(x) if not requires_grad else cnn14_apply(
-        model.params, x, model.config, training=False
-    )
+    if params is not None:
+        mid, side = model.apply(params, x)
+    elif requires_grad:
+        mid, side = cnn14_apply(model.params, x, model.config, training=False)
+    else:
+        mid, side = model(x)
 
     if dropout > 0.0 and rng is not None:
         k1, k2 = jax.random.split(rng)

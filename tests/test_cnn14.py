@@ -122,7 +122,7 @@ def test_mfcc_feature_embeds():
 
 
 def test_training_mode_runs():
-    cfg = Cnn14Config(embed_dim=32)
+    cfg = Cnn14Config(embed_dim=32, base_channels=8)
     params = init_cnn14_params(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(RNG.standard_normal((2, 2, 48000)).astype(np.float32))
     mid, side = cnn14_apply(params, x, cfg, training=True,

@@ -1,0 +1,178 @@
+"""CMA-ES convergence + ITO synthetic-target recovery (the reference's
+built-in self-test: render a target with known params, recover it —
+reference: scripts/run_optim.py:452-521)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from st_ito_tpu.chain import (
+    ChainSpec,
+    basic_compressor,
+    basic_distortion,
+    basic_parametric_eq,
+    build_render_fn,
+)
+from st_ito_tpu.ito import CMAES, run_autodiff, run_es, run_random, run_rule_based
+from st_ito_tpu.models.registry import (
+    get_mfcc_feature_embeds,
+    load_mfcc_feature_extractor,
+    load_param_model,
+    get_param_embeds,
+)
+
+SR = 48000
+RNG = np.random.default_rng(6)
+
+
+# ---------------- CMA-ES core ----------------
+
+
+def test_cmaes_sphere():
+    es = CMAES(np.full(8, 0.8), 0.3, popsize=16, bounds=(0, 1), seed=0)
+    target = np.full(8, 0.3)
+    for _ in range(100):
+        X = es.ask()
+        es.tell(X, [float(np.sum((x - target) ** 2)) for x in X])
+    xbest, fbest = es.result
+    assert fbest < 1e-6
+    np.testing.assert_allclose(xbest, target, atol=1e-3)
+
+
+def test_cmaes_rosenbrock():
+    es = CMAES(np.full(6, 0.1), 0.3, popsize=32, bounds=(0, 1), seed=1)
+
+    def rosen(x):
+        return float(np.sum(100 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2))
+
+    for _ in range(300):
+        X = es.ask()
+        es.tell(X, [rosen(x) for x in X])
+    assert es.result[1] < 1e-3  # optimum at all-ones (boundary corner)
+
+
+def test_cmaes_bounds_respected():
+    es = CMAES(np.full(4, 0.5), 0.8, popsize=12, bounds=(0, 1), seed=2)
+    for _ in range(5):
+        X = es.ask()
+        assert X.min() >= 0.0 and X.max() <= 1.0
+        es.tell(X, list(np.sum(X**2, axis=1)))
+
+
+def test_cmaes_state_roundtrip():
+    es = CMAES(np.full(4, 0.5), 0.3, popsize=8, seed=3)
+    for _ in range(3):
+        X = es.ask()
+        es.tell(X, list(np.sum((X - 0.2) ** 2, axis=1)))
+    state = es.state_dict()
+    es2 = CMAES(np.full(4, 0.5), 0.3, popsize=8, seed=3)
+    es2.load_state_dict(state)
+    np.testing.assert_allclose(es2.mean, es.mean)
+    assert es2.best_f == es.best_f
+
+
+# ---------------- ITO end-to-end (small, CPU-friendly) ----------------
+
+
+def _test_signal(T=32768):
+    t = np.arange(T) / SR
+    x = sum(np.sin(2 * np.pi * f * t) * a
+            for f, a in [(110, 1.0), (220, 0.6), (440, 0.4), (880, 0.3),
+                         (1760, 0.2), (3520, 0.1)])
+    x *= np.exp(-((t % 0.25) / 0.08))
+    x = x + RNG.standard_normal(T) * 0.01
+    return jnp.asarray((x / np.abs(x).max() * 0.8).astype(np.float32))[None, None, :]
+
+
+def _small_chain():
+    return ChainSpec(
+        stages=(basic_parametric_eq(), basic_compressor(), basic_distortion()),
+        with_bypass=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def mfcc_setup():
+    model = load_mfcc_feature_extractor()
+    return model, get_mfcc_feature_embeds
+
+
+def test_run_es_recovers_synthetic_target(mfcc_setup):
+    """fval must drop substantially on the synthetic-target task."""
+    model, embed_func = mfcc_setup
+    chain = _small_chain()
+    x = _test_signal()
+    render = build_render_fn(chain, SR, 1)
+    w_target = jnp.asarray(RNG.uniform(0.2, 0.8, chain.num_params).astype(np.float32))
+    y_target = render(w_target, x[0])[None]
+
+    result = run_es(
+        x, y_target, SR, chain, model, embed_func=embed_func,
+        max_iters=10, popsize=16, sigma0=0.3, crop_len=32768,
+        seed=0, verbose=False,
+    )
+    assert result["output_audio"].shape[1:] == y_target.shape[1:]
+    assert len(result["fval_history"]) > 0
+    # optimized fval must beat the identity baseline (input vs target)
+    id_embed = embed_func(x, model, SR)
+    tgt_embed = embed_func(y_target, model, SR)
+    base = -float(jnp.sum(id_embed["mono"] * tgt_embed["mono"]))
+    assert result["fopt"] < base + 1e-4
+    assert result["evals_per_sec"] > 0
+
+
+def test_run_es_fval_decreases(mfcc_setup):
+    model, embed_func = mfcc_setup
+    chain = _small_chain()
+    x = _test_signal()
+    render = build_render_fn(chain, SR, 1)
+    w_target = jnp.asarray(np.array([0.8, 0.3, 0.3] * 6 + [0.7, 0.5, 0.2, 0.3]
+                                    + [0.6, 0.5], np.float32))
+    y_target = render(w_target, x[0])[None]
+    result = run_es(x, y_target, SR, chain, model, embed_func=embed_func,
+                    max_iters=12, popsize=16, sigma0=0.3, crop_len=32768,
+                    find_w0=False, seed=1, verbose=False)
+    h = result["fval_history"]
+    assert h[-1] <= h[0]
+
+
+def test_run_autodiff_decreases_loss(mfcc_setup):
+    model, embed_func = mfcc_setup
+    chain = _small_chain()
+    x = _test_signal(16384)
+    render = build_render_fn(chain, SR, 1)
+    w_target = jnp.asarray(RNG.uniform(0.3, 0.7, chain.num_params).astype(np.float32))
+    y_target = render(w_target, x[0])[None]
+    result = run_autodiff(x, y_target, SR, model, embed_func=embed_func,
+                          chain=chain, lr=5e-2, n_iters=30, verbose=False)
+    assert result["fval_history"][-1] < result["fval_history"][0]
+
+
+def test_run_random_and_input(mfcc_setup):
+    model, _ = mfcc_setup
+    chain = _small_chain()
+    x = _test_signal(16384)
+    out = run_random(x, x, SR, chain, model)
+    assert out["output_audio"].shape[0] == 1
+    assert "param_dict" in out
+    out = __import__("st_ito_tpu.ito", fromlist=["run_input"]).run_input(x, x, SR)
+    np.testing.assert_allclose(np.asarray(out["output_audio"]), np.asarray(x))
+
+
+def test_run_rule_based_matches_spectrum():
+    x = _test_signal(65536)
+    # target = brighter version of x
+    from st_ito_tpu.ops import parametric_eq
+    y = parametric_eq(x[0], SR, high_shelf_gain_db=12.0,
+                      high_shelf_cutoff_freq=4000.0)[None]
+    out = run_rule_based(x, y, SR)
+    z = np.asarray(out["output_audio"])[0, 0]
+    X = np.abs(np.fft.rfft(np.asarray(x)[0, 0]))
+    Z = np.abs(np.fft.rfft(z))
+    f = np.fft.rfftfreq(len(z), 1 / SR)
+    hi = (f > 6000) & (f < 12000)
+    lo = (f > 100) & (f < 1000)
+    tilt_in = X[hi].sum() / X[lo].sum()
+    tilt_out = Z[hi].sum() / Z[lo].sum()
+    assert tilt_out > tilt_in * 1.5  # matched EQ brightened the input
