@@ -1,0 +1,43 @@
+"""Metric registry for the eval harness.
+
+Each metric is (load_fn, embed_fn) exactly like the reference's utils.py
+loader/embed pairs; ``style_similarity`` is the mean cosine over embedding
+heads used to score outputs against targets
+(reference: scripts/eval/eval_pst.py:796-827).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from st_ito_tpu.features import get_mir_feature_embeds, load_mir_feature_extractor
+from st_ito_tpu.models.registry import (
+    get_mfcc_feature_embeds,
+    get_param_embeds,
+    load_mfcc_feature_extractor,
+    load_param_model,
+)
+
+METRICS = {
+    "param": (load_param_model, get_param_embeds),
+    "mfcc": (load_mfcc_feature_extractor, get_mfcc_feature_embeds),
+    "mir": (load_mir_feature_extractor, get_mir_feature_embeds),
+}
+
+
+def load_metric(name: str, **kwargs):
+    load_fn, embed_fn = METRICS[name]
+    model = load_fn(**kwargs) if name == "param" else load_fn()
+    return model, embed_fn
+
+
+def cosine(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    num = jnp.sum(a * b, axis=-1)
+    den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    return num / jnp.maximum(den, 1e-12)
+
+
+def style_similarity(embeds_a: dict, embeds_b: dict) -> jnp.ndarray:
+    """Mean cosine similarity over embedding heads; (bs,)."""
+    sims = [cosine(embeds_a[k], embeds_b[k]) for k in embeds_a]
+    return jnp.mean(jnp.stack(sims, axis=0), axis=0)
