@@ -63,14 +63,16 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # warmup / compile
-    fvals = fitness(W, x, target, None, key)
-    jax.block_until_ready(fvals)
+    fvals = np.asarray(fitness(W, x, target, None, key))
 
+    # Per-iteration host fetch of the fitness values — exactly what the
+    # CMA-ES ask/tell loop does. (block_until_ready alone is unreliable on
+    # tunneled backends; fetching the result is the honest sync point.)
+    Ws = [jnp.asarray(rng.random((popsize, chain.num_params)).astype(np.float32))
+          for _ in range(args.iters)]
     t0 = time.time()
     for i in range(args.iters):
-        W = W.at[0, 0].set((i % 10) / 10.0)  # defeat caching
-        fvals = fitness(W, x, target, None, key)
-    jax.block_until_ready(fvals)
+        fvals = np.asarray(fitness(Ws[i], x, target, None, key))
     elapsed = time.time() - t0
 
     evals_per_sec = popsize * args.iters / elapsed

@@ -14,6 +14,7 @@ from typing import Mapping
 import jax.numpy as jnp
 
 from st_ito_tpu.chain.params import ParamSpec, StageSpec, ChainSpec
+from st_ito_tpu.chain import responses as _resp
 from st_ito_tpu.ops import delay as _delay
 from st_ito_tpu.ops import dynamics as _dyn
 from st_ito_tpu.ops import eq as _eq
@@ -64,7 +65,8 @@ def basic_parametric_eq(fixed: Mapping[str, float] | None = None) -> StageSpec:
         )
 
     return StageSpec("ParametricEQ", "parametric_eq", params, process,
-                     num_channels=1, fixed_parameters=fixed or {})
+                     num_channels=1, fixed_parameters=fixed or {},
+                     response_fn=_resp.eq_response, pad=8192)
 
 
 def basic_compressor(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -86,7 +88,8 @@ def basic_compressor(fixed: Mapping[str, float] | None = None) -> StageSpec:
         )
 
     return StageSpec("Compressor", "compressor", params, process,
-                     num_channels=1, fixed_parameters=fixed or {})
+                     num_channels=1, fixed_parameters=fixed or {},
+                     batched_fn=_resp.compressor_batched)
 
 
 def basic_distortion(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -101,7 +104,8 @@ def basic_distortion(fixed: Mapping[str, float] | None = None) -> StageSpec:
         return _ws.gain(_ws.distortion(x, p["drive_db"]), p["output_gain_db"])
 
     return StageSpec("Distortion", "distortion", params, process,
-                     num_channels=1, fixed_parameters=fixed or {})
+                     num_channels=1, fixed_parameters=fixed or {},
+                     batched_fn=_resp.distortion_batched)
 
 
 def basic_delay(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -117,7 +121,8 @@ def basic_delay(fixed: Mapping[str, float] | None = None) -> StageSpec:
         return _delay.feedback_delay(x, sr, p["delay_seconds"], p["feedback"], p["mix"])
 
     return StageSpec("Delay", "delay", params, process,
-                     num_channels=2, fixed_parameters=fixed or {})
+                     num_channels=2, fixed_parameters=fixed or {},
+                     response_fn=_resp.delay_response, pad=-1)
 
 
 def basic_reverb(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -138,7 +143,8 @@ def basic_reverb(fixed: Mapping[str, float] | None = None) -> StageSpec:
         )
 
     return StageSpec("Reverb", "reverb", params, process,
-                     num_channels=2, fixed_parameters=fixed or {})
+                     num_channels=2, fixed_parameters=fixed or {},
+                     response_fn=_resp.freeverb_response, pad=-1)
 
 
 def basic_chorus(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -160,7 +166,8 @@ def basic_chorus(fixed: Mapping[str, float] | None = None) -> StageSpec:
         )
 
     return StageSpec("Chorus", "chorus", params, process,
-                     num_channels=2, fixed_parameters=fixed or {})
+                     num_channels=2, fixed_parameters=fixed or {},
+                     batched_fn=_resp.chorus_batched)
 
 
 def basic_limiter(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -175,7 +182,8 @@ def basic_limiter(fixed: Mapping[str, float] | None = None) -> StageSpec:
                             release_ms=p["release_ms"])
 
     return StageSpec("Limiter", "limiter", params, process,
-                     num_channels=2, fixed_parameters=fixed or {})
+                     num_channels=2, fixed_parameters=fixed or {},
+                     batched_fn=_resp.limiter_batched)
 
 
 def basic_noise_gate(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -192,7 +200,8 @@ def basic_noise_gate(fixed: Mapping[str, float] | None = None) -> StageSpec:
                                p["attack_ms"], p["release_ms"])
 
     return StageSpec("NoiseGate", "noise_gate", params, process,
-                     num_channels=2, fixed_parameters=fixed or {})
+                     num_channels=2, fixed_parameters=fixed or {},
+                     batched_fn=_resp.noise_gate_batched)
 
 
 def basic_gain(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -202,7 +211,8 @@ def basic_gain(fixed: Mapping[str, float] | None = None) -> StageSpec:
         return _ws.gain(x, p["gain_db"])
 
     return StageSpec("Gain", "gain", params, process,
-                     num_channels=1, fixed_parameters=fixed or {})
+                     num_channels=1, fixed_parameters=fixed or {},
+                     response_fn=_resp.gain_response, pad=0)
 
 
 def basic_stereo_widener(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -212,7 +222,8 @@ def basic_stereo_widener(fixed: Mapping[str, float] | None = None) -> StageSpec:
         return _st.stereo_widener(x, p["width"])
 
     return StageSpec("StereoWidener", "stereo_widener", params, process,
-                     num_channels=2, fixed_parameters=fixed or {})
+                     num_channels=2, fixed_parameters=fixed or {},
+                     response_fn=_resp.widener_response, pad=0)
 
 
 def basic_phaser(fixed: Mapping[str, float] | None = None) -> StageSpec:
@@ -230,7 +241,8 @@ def basic_phaser(fixed: Mapping[str, float] | None = None) -> StageSpec:
                              p["centre_frequency_hz"], p["feedback"], p["mix"])
 
     return StageSpec("Phaser", "phaser", params, process,
-                     num_channels=2, fixed_parameters=fixed or {})
+                     num_channels=2, fixed_parameters=fixed or {},
+                     batched_fn=_resp.phaser_batched)
 
 
 EFFECT_REGISTRY = {

@@ -19,11 +19,13 @@ Semantics preserved from the reference executor:
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import jax.numpy as jnp
 
 from st_ito_tpu.chain.params import ChainSpec, StageSpec
+from st_ito_tpu.ops.iir import next_pow2
 
 
 def _stage_param_dict(stage: StageSpec, w_slice: jnp.ndarray, offset: int):
@@ -73,6 +75,128 @@ def build_render_fn(
 
         if peak_normalize_output:
             peak = jnp.max(jnp.abs(x))
+            x = x / jnp.maximum(peak, 1e-8)
+        return x
+
+    return render
+
+
+def build_batched_render_fn(
+    chain: ChainSpec,
+    sample_rate: int,
+    num_channels: int,
+    fast: bool = True,
+    peak_normalize_output: bool = True,
+    fuse_lti: bool = True,
+):
+    """The population renderer: render(W (B, P), x) -> (B, C_out, T), with
+    x either (C, T) shared across candidates or (B, C, T) per-candidate.
+
+    TPU-native structure (this is where the reference's serial per-candidate
+    C++ loop becomes one XLA program):
+    - no outer vmap: stages are natively batched over the population, so the
+      compressor ballistics run as ONE Pallas kernel with the population
+      flattened across the VPU (when fast=True on TPU)
+    - consecutive LTI stages (EQ, delay, reverb, gain, widener) fuse into a
+      single rFFT -> response-product -> irFFT application per group; the
+      delay+reverb pair costs one FFT instead of two
+    - bypass slots blend the response toward identity (LTI stages) or select
+      the dry signal (nonlinear stages)
+
+    fast=False keeps everything differentiable (associative-scan ballistics).
+
+    Fusion semantics note: a fused LTI group is "tail-continuous" — the
+    delay's tail past the buffer end feeds the reverb, whereas per-stage
+    processing (the reference's pedalboard loop, and this executor with
+    fuse_lti=False) truncates to the buffer at each stage boundary. The
+    fused result is the more physically faithful one; pass fuse_lti=False
+    for exact per-stage parity with build_render_fn / the native engine.
+    """
+    slices = chain.stage_slices()
+    bypass_off = 1 if chain.with_bypass else 0
+
+    # static plan: group consecutive response-capable stages
+    plan: list[tuple[str, list[int]]] = []
+    for i, (stage, _, _) in enumerate(slices):
+        if stage.response_fn is not None:
+            if fuse_lti and plan and plan[-1][0] == "lti":
+                plan[-1][1].append(i)
+            else:
+                plan.append(("lti", [i]))
+        else:
+            plan.append(("nl", [i]))
+
+    def stage_params(stage: StageSpec, W: jnp.ndarray, start: int):
+        out = {}
+        for j, p in enumerate(stage.params):
+            raw = W[:, start + bypass_off + j]
+            if p.name in stage.fixed_parameters:
+                raw = jnp.full_like(raw, stage.fixed_parameters[p.name])
+            out[p.name] = p.denormalize(raw)
+        return out
+
+    def render(W: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        B = W.shape[0]
+        if x.ndim == 2:
+            x = jnp.broadcast_to(x[None], (B,) + x.shape)
+        T = x.shape[-1]
+
+        for kind, idxs in plan:
+            stages = [slices[i] for i in idxs]
+            # static channel promotion before the first stereo stage
+            if any(s.num_channels == 2 for s, _, _ in stages) and x.shape[1] == 1:
+                x = jnp.concatenate([x, x], axis=1)
+            C = x.shape[1]
+
+            if kind == "nl":
+                stage, start, _ = stages[0]
+                params = stage_params(stage, W, start)
+                y = stage.batched_fn(x, params, sample_rate, fast)
+                if chain.with_bypass:
+                    active = (W[:, start] <= 0.5)[:, None, None]
+                    y = jnp.where(active, y, x)
+                x = y
+                continue
+
+            # ---- fused LTI group ----
+            pad = 0
+            for stage, _, _ in stages:
+                pad = max(pad, T if stage.pad < 0 else stage.pad)
+            n = next_pow2(T + pad)
+            omega = jnp.linspace(0.0, math.pi, n // 2 + 1, dtype=jnp.float32)
+
+            kind_H, H = "scalar", None
+            for stage, start, _ in stages:
+                params = stage_params(stage, W, start)
+                k, Hs = stage.response_fn(params, omega, sample_rate, C)
+                if chain.with_bypass:
+                    active = W[:, start] <= 0.5
+                    if k == "scalar":
+                        Hs = jnp.where(active[:, None], Hs,
+                                       jnp.ones((), Hs.dtype))
+                    else:
+                        eye = jnp.eye(2, dtype=Hs.dtype)[None, :, :, None]
+                        Hs = jnp.where(active[:, None, None, None], Hs, eye)
+                if H is None:
+                    kind_H, H = k, Hs
+                elif kind_H == "scalar" and k == "scalar":
+                    H = H * Hs
+                elif kind_H == "scalar" and k == "matrix":
+                    kind_H, H = "matrix", Hs * H[:, None, None, :]
+                elif kind_H == "matrix" and k == "scalar":
+                    H = H * Hs[:, None, None, :]
+                else:  # matrix @ matrix per frequency
+                    H = jnp.einsum("bijf,bjkf->bikf", Hs, H)
+
+            X = jnp.fft.rfft(x, n=n, axis=-1)  # (B, C, F)
+            if kind_H == "scalar":
+                Y = X * H[:, None, :]
+            else:
+                Y = jnp.einsum("bijf,bjf->bif", H, X)
+            x = jnp.fft.irfft(Y, n=n, axis=-1)[..., :T].astype(x.dtype)
+
+        if peak_normalize_output:
+            peak = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
             x = x / jnp.maximum(peak, 1e-8)
         return x
 

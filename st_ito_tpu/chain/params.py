@@ -44,6 +44,14 @@ class StageSpec:
     num_channels: 1 = per-channel mono processing, 2 = true stereo.
     fixed_parameters: name -> raw [0,1] value pinned (still occupies a slot
     in the flat vector, like the reference executor).
+
+    Population-renderer hooks (used by build_batched_render_fn):
+    - response_fn(params_B, omega (F,), sr) -> ("scalar", H (B,F)) or
+      ("matrix", H (B,2,2,F)) for LTI stages — consecutive LTI stages fuse
+      into ONE FFT application per group.
+    - batched_fn(x (B,C,T), params_B, sr, fast) for nonlinear stages.
+    - pad: guard samples for the stage's impulse-response tail when fused
+      (-1 = one full signal length, for feedback tails).
     """
 
     name: str
@@ -52,6 +60,9 @@ class StageSpec:
     process_fn: Callable
     num_channels: int = 2
     fixed_parameters: Mapping[str, float] = dataclasses.field(default_factory=dict)
+    response_fn: Callable | None = None
+    batched_fn: Callable | None = None
+    pad: int = 8192
 
     @property
     def param_names(self) -> tuple[str, ...]:

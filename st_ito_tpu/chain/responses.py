@@ -1,0 +1,200 @@
+"""Batched frequency responses and nonlinear batched process fns for the
+population renderer.
+
+LTI stages expose exact rational responses H(e^{jw}) batched over the
+population; the executor fuses consecutive LTI stages into one FFT
+application. Nonlinear stages expose natively batched fns (params as (B,)
+arrays) so the whole population renders without an outer vmap — which is
+what lets the compressor hit the Pallas ballistics kernel with the full
+population flattened into the kernel's parallel axis.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from st_ito_tpu.ops import delay as _delay
+from st_ito_tpu.ops import dynamics as _dyn
+from st_ito_tpu.ops.iir import biquad_coeffs
+from st_ito_tpu.ops.reverb import _ALLPASS_TUNINGS, _COMB_TUNINGS, _STEREO_SPREAD
+
+# A response is ("scalar", H) with H broadcastable to (B, F), applied
+# identically per channel; or ("matrix", H) with H (B, 2, 2, F) mixing
+# stereo channels.
+
+
+def _freqz_omega(b, a, omega):
+    """b, a: (..., 3); omega: (F,). Returns (..., F) complex64."""
+    z1 = jnp.exp(-1j * omega)
+    z2 = z1 * z1
+    num = (b[..., 0:1] + b[..., 1:2] * z1 + b[..., 2:3] * z2)
+    den = (a[..., 0:1] + a[..., 1:2] * z1 + a[..., 2:3] * z2)
+    return num / den
+
+
+# ----------------------------------------------------------------- EQ
+
+
+def eq_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
+    sections = []
+    sections.append(biquad_coeffs(p["low_shelf_gain_db"], p["low_shelf_cutoff_freq"],
+                                  p["low_shelf_q_factor"], sr, "low_shelf"))
+    for i in range(4):
+        sections.append(biquad_coeffs(p[f"band{i}_gain_db"], p[f"band{i}_cutoff_freq"],
+                                      p[f"band{i}_q_factor"], sr, "peaking"))
+    sections.append(biquad_coeffs(p["high_shelf_gain_db"],
+                                  p["high_shelf_cutoff_freq"],
+                                  p["high_shelf_q_factor"], sr, "high_shelf"))
+    H = None
+    for b, a in sections:
+        Hs = _freqz_omega(b, a, omega)
+        H = Hs if H is None else H * Hs
+    return ("scalar", H)
+
+
+# ----------------------------------------------------------------- delay
+
+
+def delay_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
+    D = jnp.asarray(p["delay_seconds"])[..., None] * sr
+    fb = jnp.asarray(p["feedback"])[..., None] * 0.999
+    mix = jnp.asarray(p["mix"])[..., None]
+    zD = jnp.exp(-1j * omega * D)
+    H_wet = zD / (1.0 - fb * zD)
+    return ("scalar", (1.0 - mix) + mix * H_wet)
+
+
+# ----------------------------------------------------------------- gain
+
+
+def gain_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
+    g = 10.0 ** (jnp.asarray(p["gain_db"]) / 20.0)
+    return ("scalar", g[..., None].astype(jnp.complex64)
+            * jnp.ones_like(omega, jnp.complex64))
+
+
+# ----------------------------------------------------------------- widener
+
+
+def widener_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
+    width = jnp.asarray(p["width"])
+    sqrt2 = math.sqrt(2.0)
+    mg = jnp.sqrt(jnp.clip(1.0 - width, 0.0, 1.0)) * sqrt2
+    sg = jnp.sqrt(jnp.clip(width, 0.0, 1.0)) * sqrt2
+    a = (mg + sg) / 2.0
+    b = (mg - sg) / 2.0
+    ones = jnp.ones_like(omega, jnp.complex64)
+    H = jnp.stack([
+        jnp.stack([a[..., None] * ones, b[..., None] * ones], axis=-2),
+        jnp.stack([b[..., None] * ones, a[..., None] * ones], axis=-2),
+    ], axis=-3)  # (B, 2, 2, F)
+    return ("matrix", H.astype(jnp.complex64))
+
+
+# ----------------------------------------------------------------- freeverb
+
+
+def _freeverb_channel_response(omega, sr, feedback, damp, spread: int):
+    """(B, F) wet response of 8 damped combs -> 4 allpasses.
+    feedback/damp: (B, 1)."""
+    z1 = jnp.exp(-1j * omega)
+    comb_sum = None
+    for tune in _COMB_TUNINGS:
+        D = int(sr * (tune + spread) / 44100.0)
+        zD = jnp.exp(-1j * omega * D)
+        one_pole = 1.0 - damp * z1
+        comb = zD * one_pole / (one_pole - feedback * (1.0 - damp) * zD)
+        comb_sum = comb if comb_sum is None else comb_sum + comb
+    ap = None
+    for tune in _ALLPASS_TUNINGS:
+        D = int(sr * (tune + spread) / 44100.0)
+        zD = jnp.exp(-1j * omega * D)
+        a = (1.5 * zD - 1.0) / (1.0 - 0.5 * zD)
+        ap = a if ap is None else ap * a
+    return comb_sum * ap
+
+
+def freeverb_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
+    room = jnp.asarray(p["room_size"])[..., None]
+    damping = jnp.asarray(p["damping"])[..., None]
+    wet_dry = jnp.asarray(p["wet_dry"])[..., None]
+    width = jnp.asarray(p["width"])[..., None]
+
+    feedback = room * 0.28 + 0.7
+    damp = damping * 0.4
+    gain_in = 0.015
+    dry = (1.0 - wet_dry) * 2.0
+
+    H_L = _freeverb_channel_response(omega, sr, feedback, damp, 0)
+    if channels == 1:
+        H = dry + 3.0 * wet_dry * gain_in * H_L
+        return ("scalar", H)
+
+    H_R = _freeverb_channel_response(omega, sr, feedback, damp, _STEREO_SPREAD)
+    wet1 = 0.5 * wet_dry * 3.0 * (1.0 + width)
+    wet2 = 0.5 * wet_dry * 3.0 * (1.0 - width)
+    M_L = (wet1 * H_L + wet2 * H_R) * gain_in  # applied to (xl + xr)
+    M_R = (wet1 * H_R + wet2 * H_L) * gain_in
+    H = jnp.stack([
+        jnp.stack([dry + M_L, M_L], axis=-2),
+        jnp.stack([M_R, dry + M_R], axis=-2),
+    ], axis=-3)  # (B, 2, 2, F)
+    return ("matrix", H)
+
+
+# --------------------------------------------------------- nonlinear stages
+
+
+def _col(v):
+    return jnp.asarray(v)[..., None, None]  # (B,) -> (B, 1, 1)
+
+
+def compressor_batched(x, p, sr, fast: bool):
+    return _dyn.compressor(
+        x, sr,
+        threshold_db=_col(p["threshold_db"]), ratio=_col(p["ratio"]),
+        attack_ms=_col(p["attack_ms"]), release_ms=_col(p["release_ms"]),
+        knee_db=0.5, makeup_gain_db=0.0, link_channels=False, fast=fast,
+    )
+
+
+def distortion_batched(x, p, sr, fast: bool):
+    drive = 10.0 ** (_col(p["drive_db"]) / 20.0)
+    out = 10.0 ** (_col(p["output_gain_db"]) / 20.0)
+    return jnp.tanh(x * drive) * out
+
+
+def limiter_batched(x, p, sr, fast: bool):
+    return _dyn.compressor(
+        x, sr,
+        threshold_db=_col(p["threshold_db"]), ratio=1000.0,
+        attack_ms=0.05, release_ms=_col(p["release_ms"]),
+        knee_db=0.1, makeup_gain_db=0.0, link_channels=True, fast=fast,
+    )
+
+
+def noise_gate_batched(x, p, sr, fast: bool):
+    def one(xi, th, ratio, atk, rel):
+        return _dyn.noise_gate(xi, sr, th, ratio, atk, rel)
+
+    return jax.vmap(one)(x, p["threshold_db"], p["ratio"], p["attack_ms"],
+                         p["release_ms"])
+
+
+def chorus_batched(x, p, sr, fast: bool):
+    def one(xi, rate, centre, depth, fb, mix):
+        return _delay.chorus(xi, sr, rate, centre, depth, fb, mix)
+
+    return jax.vmap(one)(x, p["rate_hz"], p["centre_delay_ms"], p["depth"],
+                         p["feedback"], p["mix"])
+
+
+def phaser_batched(x, p, sr, fast: bool):
+    def one(xi, rate, depth, centre, fb, mix):
+        return _delay.phaser(xi, sr, rate, depth, centre, fb, mix)
+
+    return jax.vmap(one)(x, p["rate_hz"], p["depth"], p["centre_frequency_hz"],
+                         p["feedback"], p["mix"])

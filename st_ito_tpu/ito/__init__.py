@@ -13,6 +13,7 @@ from st_ito_tpu.ito.engine import (
     make_fitness_fn,
     run_autodiff,
     run_es,
+    run_es_multitrack,
     run_input,
     run_random,
     run_rule_based,
@@ -23,6 +24,7 @@ __all__ = [
     "CMAES",
     "make_fitness_fn",
     "run_es",
+    "run_es_multitrack",
     "run_staged_es",
     "run_autodiff",
     "run_input",

@@ -25,6 +25,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from st_ito_tpu.chain import ChainSpec, build_render_fn, parameters_to_dict
+from st_ito_tpu.chain.executor import build_batched_render_fn
 from st_ito_tpu.ito.cmaes import CMAES
 from st_ito_tpu.models.registry import get_param_embeds
 
@@ -69,8 +70,19 @@ def make_fitness_fn(
     + embed partition across them — the TPU replacement for the reference's
     mp.Pool render parallelism (reference: style_transfer.py:499-502).
     """
-    render = build_render_fn(chain, sample_rate, num_channels,
-                             normalize_stages=normalize_stages)
+    if normalize_stages:
+        # per-stage normalization is incompatible with LTI fusion; fall back
+        # to the per-candidate renderer under vmap
+        per_render = build_render_fn(chain, sample_rate, num_channels,
+                                     normalize_stages=True)
+
+        def render(W, x):
+            return jax.vmap(per_render, in_axes=(0, None))(W, x)
+    else:
+        # natively batched population renderer: fused LTI groups + Pallas
+        # compressor ballistics (ES needs no gradients -> fast=True)
+        render = build_batched_render_fn(chain, sample_rate, num_channels,
+                                         fast=True)
 
     # Model weights flow through the jit boundary as arguments — closing
     # over ~80M params would bake them into the HLO as constants and blow
@@ -80,7 +92,7 @@ def make_fitness_fn(
 
     def fitness_impl(mparams, cparams, W, x, target_embeds,
                      target_content_embeds, rng):
-        Y = jax.vmap(render, in_axes=(0, None))(W, x)  # (pop, C, T)
+        Y = render(W, x)  # (pop, C, T)
         output_embeds = embed_func(
             Y, model, sample_rate,
             dropout=dropout, rng=rng if dropout > 0.0 else None,
@@ -297,6 +309,112 @@ def _savepop_to_disk(iteration, fvals, audio, run_dir, sample_rate):
             os.path.join(pop_dir, f"output_audio_pop_{rank}_fval_{fvals[idx]:0.4e}.wav"),
             a, sample_rate,
         )
+
+
+# --------------------------------------------------------------------------
+# batched multi-track ES (BASELINE.json config 5)
+# --------------------------------------------------------------------------
+
+
+def run_es_multitrack(
+    input_audio: jnp.ndarray,
+    target_audio: jnp.ndarray,
+    sample_rate: int,
+    chain: ChainSpec,
+    model,
+    embed_func: Callable = get_param_embeds,
+    max_iters: int = 32,
+    popsize: int = 32,
+    sigma0: float = 0.33,
+    dropout: float = 0.0,
+    seed: int = 0,
+    mesh: Mesh | None = None,
+    verbose: bool = False,
+    **kwargs,
+):
+    """Independent CMA-ES per track, but every generation of every track
+    renders+embeds in ONE device program: W (tracks*pop, P) through the
+    batched renderer with per-candidate input audio.
+
+    input_audio/target_audio: (tracks, C, T).
+    """
+    tracks = input_audio.shape[0]
+    num_params = chain.num_params
+
+    input_audio = input_audio / jnp.maximum(
+        jnp.max(jnp.abs(input_audio), axis=(-2, -1), keepdims=True), 1e-8)
+    target_audio = target_audio / jnp.maximum(
+        jnp.max(jnp.abs(target_audio), axis=(-2, -1), keepdims=True), 1e-8)
+
+    target_embeds = embed_func(target_audio, model, sample_rate)
+    model_params = getattr(model, "params", None)
+
+    render = build_batched_render_fn(chain, sample_rate, input_audio.shape[1],
+                                     fast=True)
+
+    def fitness_impl(mparams, W_flat, x_flat, tmid, tside, rng):
+        Y = render(W_flat, x_flat)
+        embeds = embed_func(Y, model, sample_rate, params=mparams,
+                            dropout=dropout, rng=rng if dropout > 0 else None)
+        dists = []
+        for name, out in embeds.items():
+            tgt = {"mid": tmid, "side": tside}.get(name)
+            if tgt is None:
+                continue
+            dists.append(-jnp.sum(out * tgt, axis=-1))
+        return jnp.mean(jnp.stack(dists, axis=0), axis=0)  # (tracks*pop,)
+
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        pop_shard = NamedSharding(mesh, P("pop"))
+        jitted = jax.jit(fitness_impl,
+                         in_shardings=(rep, pop_shard, pop_shard, pop_shard,
+                                       pop_shard, rep))
+    else:
+        jitted = jax.jit(fitness_impl)
+
+    x_flat = jnp.repeat(input_audio, popsize, axis=0)  # (tracks*pop, C, T)
+    tmid = jnp.repeat(target_embeds["mid"], popsize, axis=0)
+    tside = jnp.repeat(target_embeds.get("side", target_embeds["mid"]),
+                       popsize, axis=0)
+
+    rng = np.random.default_rng(seed)
+    jrng = jax.random.PRNGKey(seed)
+    ess = [CMAES(np.full(num_params, 0.5), sigma0, popsize=popsize,
+                 bounds=(0.0, 1.0), seed=seed + t) for t in range(tracks)]
+
+    t_start = time.time()
+    total_evals = 0
+    fval_history = [[] for _ in range(tracks)]
+    for iteration in range(max_iters):
+        Ws = [es.ask() for es in ess]
+        W_flat = jnp.asarray(np.concatenate(Ws, axis=0), jnp.float32)
+        jrng, sub = jax.random.split(jrng)
+        fvals = np.asarray(jitted(model_params, W_flat, x_flat, tmid, tside, sub))
+        total_evals += tracks * popsize
+        for t, es in enumerate(ess):
+            es.tell(Ws[t], fvals[t * popsize:(t + 1) * popsize])
+            fval_history[t].append(es.result[1])
+        if verbose:
+            print(f"gen {iteration}: " + " ".join(
+                f"{es.result[1]:+.4f}" for es in ess))
+
+    elapsed = time.time() - t_start
+    final_render = build_batched_render_fn(chain, sample_rate,
+                                           input_audio.shape[1], fast=True)
+    W_opt = jnp.asarray(np.stack([es.result[0] for es in ess]), jnp.float32)
+    output_audio = final_render(W_opt, input_audio)
+
+    return {
+        "output_audio": output_audio,
+        "params": [parameters_to_dict(es.result[0], chain) for es in ess],
+        "fopt": [es.result[1] for es in ess],
+        "wopt": np.stack([es.result[0] for es in ess]),
+        "fval_history": fval_history,
+        "time_elapsed": elapsed,
+        "total_evals": total_evals,
+        "evals_per_sec": total_evals / max(elapsed, 1e-9),
+    }
 
 
 # --------------------------------------------------------------------------

@@ -74,6 +74,8 @@ def ballistics_parallel(
     c is the gain-computer output in dB (<= 0).
     """
     ar = jnp.asarray(alpha_release, c.dtype)
+    if ar.ndim == c.ndim - 1:
+        ar = ar[..., None]
     b = (1.0 - ar) * c
     k = jnp.broadcast_to(ar, c.shape).astype(c.dtype)
 
@@ -86,8 +88,28 @@ def ballistics_parallel(
     y1 = jnp.minimum(M, B)  # initial state y1[-1] = 0
 
     aa = jnp.asarray(alpha_attack, c.dtype)
+    if aa.ndim == c.ndim - 1:
+        aa = aa[..., None]
     aa = jnp.broadcast_to(aa, c.shape).astype(c.dtype)
     return linear_recurrence(aa, (1.0 - aa) * y1, axis=axis)
+
+
+# --- dispatching ballistics: Pallas kernel on TPU for wide non-autodiff
+# paths (the natively batched population renderer calls this with the whole
+# population flattened into the lead axis), associative scan elsewhere.
+# The associative-scan form stays the default inside vmap/grad contexts —
+# it is differentiable and batchable; the Pallas path is a fast-inference
+# fast path, not an AD surface.
+
+
+def ballistics(c: jnp.ndarray, alpha_attack, alpha_release,
+               fast: bool = False) -> jnp.ndarray:
+    """Decoupled detector over the last axis; c (..., T)."""
+    if fast and jax.default_backend() == "tpu":
+        from st_ito_tpu.ops.pallas.scan import ballistics_pallas
+
+        return ballistics_pallas(c, alpha_attack, alpha_release)
+    return ballistics_parallel(c, alpha_attack, alpha_release)
 
 
 def ballistics_scan(
@@ -124,11 +146,14 @@ def compressor(
     lookahead_samples: int = 0,
     link_channels: bool = True,
     exact_ballistics: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Feed-forward compressor on x of shape (..., C, T).
 
     Detection: peak of |x| linked over channels (stereo-linked, like the
     reference chain executor's per-plugin stereo processing).
+    ``fast=True`` routes the ballistics through the Pallas kernel on TPU
+    (inference paths; not differentiable).
     """
     eps = 1e-8
     if link_channels:
@@ -144,7 +169,9 @@ def compressor(
     if exact_ballistics:
         gr_smooth = ballistics_scan(gr_db, alpha_a, alpha_r)
     else:
-        gr_smooth = ballistics_parallel(gr_db, alpha_a, alpha_r)
+        aa = jnp.broadcast_to(alpha_a, gr_db.shape)[..., 0]
+        ar = jnp.broadcast_to(alpha_r, gr_db.shape)[..., 0]
+        gr_smooth = ballistics(gr_db, aa, ar, fast=fast)
 
     gain = 10.0 ** (gr_smooth / 20.0)
 

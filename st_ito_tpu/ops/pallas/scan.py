@@ -1,0 +1,214 @@
+"""Pallas kernels for first-order recurrences along time.
+
+Why: jax.lax.associative_scan is O(T log T) with ~log2(T) full HBM round
+trips of the (coeff, drive[, min]) element tuples — for the compressor
+ballistics at (pop=256, ch=2, T=262144) that is tens of GB of traffic. A
+TPU recurrence is cheap if the *parallel* axis fills the VPU: lay the
+independent recurrences (population x channels) across an (8, 128) tile and
+step T sequentially in VMEM. One HBM pass, O(T) work.
+
+Layout: inputs are transposed to (T, lead) then viewed as (T, G, 8, 128)
+with G = lead/1024 groups. The grid is (G, T_blocks); the carry lives in a
+VMEM scratch that persists across the sequential T-block iterations
+(grid iteration is minor-to-major, so T_blocks is the fastest axis).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_LANE = 128
+_SUBLANE = 8
+_TILE = _LANE * _SUBLANE  # 1024 parallel recurrences per grid row
+
+
+def pallas_scan_available() -> bool:
+    return _HAS_PALLAS and jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------------------
+# kernels
+# --------------------------------------------------------------------------
+
+
+def _ballistics_kernel(c_ref, aa_ref, ar_ref, out_ref, carry):
+    """Decoupled detector over one (T_blk, 8, 128) block.
+
+    carry: (2, 8, 128) scratch = (y1, g) persisted across T blocks.
+    """
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry[0] = jnp.zeros_like(carry[0])
+        carry[1] = jnp.zeros_like(carry[1])
+
+    aa = aa_ref[0]
+    ar = ar_ref[0]
+    T_blk = c_ref.shape[0]
+
+    def body(t, state):
+        y1, g = state
+        c = c_ref[t]
+        y1 = jnp.minimum(c, ar * y1 + (1.0 - ar) * c)
+        g = aa * g + (1.0 - aa) * y1
+        out_ref[t] = g
+        return (y1, g)
+
+    y1, g = jax.lax.fori_loop(0, T_blk, body, (carry[0], carry[1]))
+    carry[0] = y1
+    carry[1] = g
+
+
+def _linrec_kernel(a_ref, b_ref, out_ref, carry):
+    """y[t] = a[t]*y[t-1] + b[t] over one (T_blk, 8, 128) block."""
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry[0] = jnp.zeros_like(carry[0])
+
+    T_blk = a_ref.shape[0]
+
+    def body(t, y):
+        y = a_ref[t] * y + b_ref[t]
+        out_ref[t] = y
+        return y
+
+    carry[0] = jax.lax.fori_loop(0, T_blk, body, carry[0])
+
+
+# --------------------------------------------------------------------------
+# host-side wrappers
+# --------------------------------------------------------------------------
+
+
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret):
+    """seq_inputs: list of (lead, T) arrays; vec_inputs: list of (lead,)
+    arrays broadcast per recurrence. Returns (lead, T)."""
+    G = -(-lead // _TILE)
+    lead_pad = G * _TILE
+    Tb = -(-T // t_block)
+    T_pad = Tb * t_block
+
+    # (lead, T) -> (T, G, 8, 128)
+    def to_blocks(x):
+        x = _pad_to(x, lead_pad, 0)
+        x = _pad_to(x, T_pad, 1)
+        x = x.T.reshape(T_pad, G, _SUBLANE, _LANE)
+        return x
+
+    seq = [to_blocks(x) for x in seq_inputs]
+    vec = [
+        _pad_to(v, lead_pad, 0).reshape(1, G, _SUBLANE, _LANE)
+        for v in vec_inputs
+    ]
+
+    grid = (G, Tb)
+    seq_spec = pl.BlockSpec(
+        (t_block, 1, _SUBLANE, _LANE),
+        lambda g, t: (t, g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vec_spec = pl.BlockSpec(
+        (1, 1, _SUBLANE, _LANE),
+        lambda g, t: (0, g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def kernel_wrap(*refs):
+        *ins, out_ref, carry = refs
+        # drop the singleton G axis from each block view
+        class _View:
+            def __init__(self, ref):
+                self._ref = ref
+                self.shape = (ref.shape[0],) + ref.shape[2:]
+
+            def __getitem__(self, t):
+                return self._ref[t, 0]
+
+            def __setitem__(self, t, v):
+                self._ref[t, 0] = v
+
+        views = [_View(r) for r in ins]
+        kernel(*views, _View(out_ref), carry)
+
+    out = pl.pallas_call(
+        kernel_wrap,
+        grid=grid,
+        in_specs=[seq_spec] * len(seq) + [vec_spec] * len(vec),
+        out_specs=seq_spec,
+        out_shape=jax.ShapeDtypeStruct((T_pad, G, _SUBLANE, _LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, _SUBLANE, _LANE), jnp.float32)],
+        interpret=interpret,
+    )(*seq, *vec)
+
+    out = out.reshape(T_pad, lead_pad).T
+    return out[:lead, :T]
+
+
+def ballistics_pallas(
+    c: jnp.ndarray,
+    alpha_attack,
+    alpha_release,
+    t_block: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused decoupled attack/release detector.
+
+    c: (..., T) gain-computer output in dB. alpha_attack/alpha_release:
+    scalars or arrays broadcastable to c's leading dims.
+    """
+    lead_shape = c.shape[:-1]
+    T = c.shape[-1]
+    lead = int(np.prod(lead_shape)) if lead_shape else 1
+    c2 = c.reshape(lead, T).astype(jnp.float32)
+    aa = jnp.broadcast_to(jnp.asarray(alpha_attack, jnp.float32), lead_shape)
+    ar = jnp.broadcast_to(jnp.asarray(alpha_release, jnp.float32), lead_shape)
+    out = _run_scan(
+        _ballistics_kernel, [c2],
+        [aa.reshape(lead), ar.reshape(lead)],
+        T, lead, t_block, interpret,
+    )
+    return out.reshape(*lead_shape, T).astype(c.dtype)
+
+
+def linear_recurrence_pallas(
+    coeff: jnp.ndarray,
+    drive: jnp.ndarray,
+    t_block: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y[t] = coeff[t]*y[t-1] + drive[t] along the last axis (Pallas)."""
+    lead_shape = coeff.shape[:-1]
+    T = coeff.shape[-1]
+    lead = int(np.prod(lead_shape)) if lead_shape else 1
+    out = _run_scan(
+        _linrec_kernel,
+        [coeff.reshape(lead, T).astype(jnp.float32),
+         drive.reshape(lead, T).astype(jnp.float32)],
+        [],
+        T, lead, t_block, interpret,
+    )
+    return out.reshape(*lead_shape, T).astype(coeff.dtype)
