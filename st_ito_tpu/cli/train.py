@@ -159,14 +159,68 @@ def train_pretext(cfg: dict, args) -> None:
         seed=cfg.get("seed", 0),
     )
 
+    val_ds = None
+    val_dir = args.val_shard_dir or data_cfg.get("val_shard_dir")
+    if val_dir:
+        val_ds = NpzShardDataset(
+            val_dir, length=data_cfg.get("length", 262144),
+            batch_size=data_cfg.get("batch_size", 32),
+            seed=cfg.get("seed", 0) + 1,
+            random_gain=False, random_flip=False,
+        )
+
     max_steps = args.max_steps or cfg.get("max_steps", 1000)
     log_every = cfg.get("log_every", 25)
     ckpt_every = cfg.get("ckpt_every", 500)
+    val_every = cfg.get("val_every", 0)
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    eval_loss = jax.jit(lambda p, b, r: param_estimator_loss(p, pcfg, b, False, r))
+
+    def run_validation(step, rng):
+        """Val loss/acc + confusion matrix snapshot
+        (ConfusionMatrixCallback equivalent, reference: callbacks.py:97-164)."""
+        losses, preds, labels = [], [], []
+        for vi, vbatch in enumerate(iter(val_ds)):
+            if vi >= cfg.get("val_batches", 8):
+                break
+            vbatch = {k: jnp.asarray(v) for k, v in vbatch.items()}
+            rng, sub = jax.random.split(rng)
+            loss, (vmetrics, feats) = eval_loss(state.params, vbatch, sub)
+            losses.append(float(loss))
+            from st_ito_tpu.train.param import _mlp
+
+            logits = _mlp(state.params["instance_estimator"], feats)
+            preds.append(np.asarray(jnp.argmax(logits, -1)))
+            labels.append(np.asarray(vbatch["instance_index"]))
+        if not losses:
+            return
+        preds = np.concatenate(preds)
+        labels = np.concatenate(labels)
+        acc = float((preds == labels).mean())
+        logger.log(step, {"loss": float(np.mean(losses)), "instance_acc": acc},
+                   prefix="val")
+        cm = _confusion_matrix(preds, labels, pcfg.num_instances)
+        cm_dir = os.path.join(run_dir, "confusion")
+        os.makedirs(cm_dir, exist_ok=True)
+        np.save(os.path.join(cm_dir, f"step{step}.npy"), cm)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(5, 4))
+            ax.imshow(cm, cmap="viridis")
+            ax.set_xlabel("predicted")
+            ax.set_ylabel("true")
+            fig.savefig(os.path.join(cm_dir, f"step{step}.png"), dpi=120)
+            plt.close(fig)
+        except Exception:
+            pass
 
     step = int(state.step)
     t0 = time.time()
-    eval_loss = jax.jit(lambda p, b, r: param_estimator_loss(p, pcfg, b, False, r))
     while step < max_steps:
         for batch in prefetch_batches(iter(ds)):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -180,6 +234,9 @@ def train_pretext(cfg: dict, args) -> None:
                 )
                 t0 = time.time()
                 logger.log(step, metrics)
+            if val_ds is not None and val_every and step % val_every == 0:
+                rng, sub = jax.random.split(rng)
+                run_validation(step, sub)
             if step % ckpt_every == 0:
                 save_checkpoint(ckpt_dir, state, step)
             if step >= max_steps:
@@ -274,6 +331,7 @@ def main(argv=None):
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--max-steps", type=int, default=0)
     parser.add_argument("--shard-dir", type=str, default=None)
+    parser.add_argument("--val-shard-dir", type=str, default=None)
     parser.add_argument("--run-dir", type=str, default=None)
     parser.add_argument("--num-devices", type=int, default=0)
     parser.add_argument("--resume", action="store_true")

@@ -150,6 +150,74 @@ def get_param_embeds(
     return {"mid": _l2_normalize(mid), "side": _l2_normalize(side)}
 
 
+# ---------------- CLAP metric (reference: utils.py:389-438) ----------------
+
+
+@dataclasses.dataclass
+class ClapModelHandle:
+    model: Any
+    processor: Any
+    embed_dim: int = 512
+    sample_rate: int = 48000
+
+
+def load_clap_model(
+    use_gpu: bool = False,
+    model_id: str = "laion/clap-htsat-unfused",
+) -> ClapModelHandle:
+    """LAION-CLAP via transformers (torch, host-side — an eval-only metric
+    baseline like the reference's). Requires the weights in the local HF
+    cache; this environment has no network egress, so a missing cache
+    raises with instructions."""
+    try:
+        from transformers import ClapModel, ClapProcessor
+
+        model = ClapModel.from_pretrained(model_id)
+        processor = ClapProcessor.from_pretrained(model_id)
+    except (OSError, ImportError) as e:
+        raise FileNotFoundError(
+            f"CLAP weights for {model_id} not available locally "
+            f"(offline environment). Pre-populate the HF cache or use "
+            f"--metric param/mfcc. Original error: {e}"
+        ) from e
+    model.eval()
+    return ClapModelHandle(model=model, processor=processor)
+
+
+def get_clap_embeds(
+    x: jnp.ndarray,
+    model: ClapModelHandle,
+    sample_rate: float,
+    midside: bool = False,
+    **kwargs,
+) -> dict[str, jnp.ndarray]:
+    """CLAP audio embeddings; mono (or mid/side heads with midside=True),
+    L2-normalized (reference: st_ito/utils.py:389-438)."""
+    import torch
+
+    bs, chs, _ = x.shape
+    if sample_rate != 48000:
+        x = resample(x, int(sample_rate), 48000)
+    xn = np.asarray(x, np.float32)
+
+    if chs == 2 and midside:
+        signals = {"mid": xn[:, 0] + xn[:, 1], "side": xn[:, 0] - xn[:, 1]}
+    else:
+        signals = {"mono": xn.mean(axis=1)}
+
+    out = {}
+    with torch.no_grad():
+        for name, sig in signals.items():
+            inputs = model.processor(
+                audios=[s for s in sig], sampling_rate=48000,
+                return_tensors="pt",
+            )
+            feats = model.model.get_audio_features(**inputs)
+            feats = torch.nn.functional.normalize(feats, p=2, dim=-1)
+            out[name] = jnp.asarray(feats.numpy())
+    return out
+
+
 # ---------------- MFCC feature metric (reference: utils.py:100-159) --------
 
 

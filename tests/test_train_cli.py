@@ -39,13 +39,16 @@ def test_pretext_cli_end_to_end(tmp_path):
         "max_steps": 3,
         "log_every": 1,
         "ckpt_every": 100,
+        "val_every": 2,
+        "val_batches": 1,
         "model": {
             "encoder": {"embed_dim": 8, "base_channels": 4},
             "lr": 1e-3,
             "num_instances": 2,
             "num_presets": 2,
         },
-        "data": {"shard_dir": shard_dir, "length": T_CROP, "batch_size": 4},
+        "data": {"shard_dir": shard_dir, "val_shard_dir": shard_dir,
+                 "length": T_CROP, "batch_size": 4},
     }
     cfg_path = str(tmp_path / "cfg.yaml")
     with open(cfg_path, "w") as f:
@@ -55,8 +58,11 @@ def test_pretext_cli_end_to_end(tmp_path):
     main(["--config", cfg_path, "--run-dir", run_dir])
 
     metrics = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
-    assert len(metrics) == 3
-    assert np.isfinite(metrics[-1]["train_loss"])
+    train_recs = [m for m in metrics if "train_loss" in m]
+    assert len(train_recs) == 3
+    assert np.isfinite(train_recs[-1]["train_loss"])
+    assert any("val_instance_acc" in m for m in metrics)
+    assert os.path.exists(os.path.join(run_dir, "confusion", "step2.npy"))
     assert os.path.exists(os.path.join(run_dir, "checkpoints", "last"))
     assert os.path.exists(os.path.join(run_dir, "config.yaml"))
 
