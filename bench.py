@@ -31,6 +31,8 @@ def main():
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--length", type=int, default=0,
                         help="0 = auto (262144, or 65536 with --quick)")
+    parser.add_argument("--profile", type=str, default="",
+                        help="write a jax.profiler trace to this directory")
     args = parser.parse_args()
 
     if args.quick:
@@ -70,10 +72,14 @@ def main():
     # tunneled backends; fetching the result is the honest sync point.)
     Ws = [jnp.asarray(rng.random((popsize, chain.num_params)).astype(np.float32))
           for _ in range(args.iters)]
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.time()
     for i in range(args.iters):
         fvals = np.asarray(fitness(Ws[i], x, target, None, key))
     elapsed = time.time() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
 
     evals_per_sec = popsize * args.iters / elapsed
     print(json.dumps({

@@ -242,7 +242,14 @@ def train_pretext(cfg: dict, args) -> None:
             if step >= max_steps:
                 break
     save_checkpoint(ckpt_dir, state, step)
-    print(f"done at step {step}; checkpoints in {ckpt_dir}")
+    # export the encoder for load_param_model interop
+    from st_ito_tpu.models.registry import export_encoder_npz
+
+    export_path = os.path.join(run_dir, "encoder.npz")
+    export_encoder_npz(jax.device_get(state.params["encoder"]), export_path,
+                       config=pcfg.encoder)
+    print(f"done at step {step}; checkpoints in {ckpt_dir}; "
+          f"encoder exported to {export_path}")
 
 
 def train_style(cfg: dict, args) -> None:

@@ -155,7 +155,13 @@ class CMAES:
 
     def load_state_dict(self, d: dict) -> None:
         for k, v in d.items():
+            if isinstance(v, np.ndarray) and v.ndim == 0:
+                v = v.item()
             setattr(self, k, v.copy() if isinstance(v, np.ndarray) else v)
+        self.sigma = float(self.sigma)
+        self.best_f = float(self.best_f)
+        self.counteval = int(self.counteval)
+        self.generation = int(self.generation)
         self.C = (self.C + self.C.T) / 2
         d2, self.B = np.linalg.eigh(self.C)
         self.D = np.sqrt(np.maximum(d2, 1e-20))

@@ -175,6 +175,7 @@ def run_es(
     early_stop_patience: int = 10,
     early_stop_threshold: float = -0.01,
     verbose: bool = True,
+    es_state_path: str | None = None,
     **kwargs,
 ):
     """CMA-ES inference-time optimization
@@ -182,6 +183,11 @@ def run_es(
 
     input_audio/target_audio: (1, C, T). Returns the reference's result dict
     plus timing/throughput statistics.
+
+    ``es_state_path``: optional .npz snapshot path — the ES state
+    (mean/covariance/paths/best) is saved every iteration and restored on
+    start if the file exists, making long ITO runs preemption-safe (an
+    auxiliary capability the reference lacks, SURVEY §5.4).
     """
     rng = np.random.default_rng(seed)
     jrng = jax.random.PRNGKey(seed)
@@ -239,6 +245,12 @@ def run_es(
         w0 = np.asarray(w0, np.float64)
 
     es = CMAES(w0, sigma0, popsize=popsize, bounds=(0.0, 1.0), seed=seed)
+    if es_state_path is not None and os.path.isfile(es_state_path):
+        snap = np.load(es_state_path)
+        es.load_state_dict({k: snap[k] for k in snap.files})
+        if verbose:
+            print(f"resumed ES state from {es_state_path} "
+                  f"(gen {es.generation})")
 
     fval_history: list[float] = []
     wopt_history: list[np.ndarray] = []
@@ -256,6 +268,9 @@ def run_es(
 
         wopt_history.append(es.result[0])
         fval_history.append(es.result[1])
+
+        if es_state_path is not None:
+            np.savez(es_state_path, **es.state_dict())
 
         if savepop:
             _savepop_to_disk(iteration, fvals, audio, run_dir, sample_rate)
@@ -614,6 +629,35 @@ def run_random(input_audio, target_audio, sample_rate, chain: ChainSpec,
         "param_dict": parameters_to_dict(w, chain),
         "time_elapsed": time.time() - t0,
     }
+
+
+def run_learned_inference(
+    input_audio,
+    target_audio,
+    sample_rate,
+    system,
+    state,
+    chain=None,
+    model=None,
+    **kwargs,
+):
+    """DeepAFx-ST-style learned inference as a benchmark method
+    (reference: st_ito/style_transfer.py:281-318): one forward pass of a
+    trained StyleTransferSystem predicts chain parameters directly."""
+    t0 = time.time()
+    x = input_audio
+    if x.shape[1] == 1:
+        x = jnp.concatenate([x, x], axis=1)
+    y = target_audio
+    if y.shape[1] == 1:
+        y = jnp.concatenate([y, y], axis=1)
+    output_audio, w, _ = system.forward(state.params, x, y, render_audio=True)
+    result = {
+        "output_audio": output_audio,
+        "params": {f"{i}": float(v) for i, v in enumerate(np.asarray(w[0]))},
+        "time_elapsed": time.time() - t0,
+    }
+    return result
 
 
 def run_rule_based(

@@ -79,8 +79,21 @@ def load_param_model(
         if not os.path.isfile(path):
             continue
         if path.endswith(".npz"):
-            params = _convert.load_params_npz(path)
+            import json
+
+            data = np.load(path)
             config = Cnn14Config()
+            if "__config__" in data.files:
+                config = Cnn14Config(**json.loads(bytes(data["__config__"])))
+            params: dict = {}
+            for key in data.files:
+                if key == "__config__":
+                    continue
+                parts = key.split(".")
+                node = params
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = data[key]
             return ParamModel(params=params, config=config,
                               embed_dim=config.embed_dim)
         params, config = _convert.load_torch_checkpoint(path)
@@ -148,6 +161,58 @@ def get_param_embeds(
     mid = jnp.nan_to_num(mid)
     side = jnp.nan_to_num(side)
     return {"mid": _l2_normalize(mid), "side": _l2_normalize(side)}
+
+
+def get_param_embeds_chunked(
+    x: jnp.ndarray,
+    model: ParamModel,
+    sample_rate: float,
+    chunk_len: int = 262144,
+    hop: int | None = None,
+    **kwargs,
+) -> dict[str, jnp.ndarray]:
+    """Long-audio embedding: overlap-chunk the signal, embed every chunk as
+    one batch, average and re-normalize. Minutes-long audio is handled by
+    windowing rather than any sequence parallelism — the encoder is a CNN
+    (SURVEY §5.7); the reference simply cropped to 262144 samples.
+    """
+    bs, chs, T = x.shape
+    hop = hop or chunk_len
+    if T <= chunk_len:
+        return get_param_embeds(x, model, sample_rate, **kwargs)
+    n_chunks = (T - chunk_len) // hop + 1
+    starts = [i * hop for i in range(n_chunks)]
+    chunks = jnp.stack([x[:, :, s:s + chunk_len] for s in starts], axis=1)
+    chunks = chunks.reshape(bs * n_chunks, chs, chunk_len)
+    e = get_param_embeds(chunks, model, sample_rate, **kwargs)
+    out = {}
+    for k, v in e.items():
+        v = v.reshape(bs, n_chunks, -1).mean(axis=1)
+        out[k] = _l2_normalize(v)
+    return out
+
+
+def export_encoder_npz(params: dict, path: str,
+                       config: Cnn14Config | None = None) -> None:
+    """Save a trained encoder pytree (+ its config) so load_param_model can
+    serve it (train CLI interop)."""
+    import json
+
+    flat = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            key = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, key)
+            else:
+                flat[key] = np.asarray(v)
+
+    walk(params, "")
+    if config is not None:
+        flat["__config__"] = np.frombuffer(
+            json.dumps(dataclasses.asdict(config)).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
 
 
 # ---------------- CLAP metric (reference: utils.py:389-438) ----------------
