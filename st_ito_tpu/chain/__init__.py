@@ -10,6 +10,7 @@ from st_ito_tpu.chain.params import ParamSpec, StageSpec, ChainSpec
 from st_ito_tpu.chain.effects import (
     EFFECT_REGISTRY,
     basic_chain,
+    chain_preset,
     basic_parametric_eq,
     basic_compressor,
     basic_distortion,
@@ -30,6 +31,7 @@ __all__ = [
     "ChainSpec",
     "EFFECT_REGISTRY",
     "basic_chain",
+    "chain_preset",
     "basic_parametric_eq",
     "basic_compressor",
     "basic_distortion",

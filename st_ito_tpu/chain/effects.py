@@ -274,3 +274,34 @@ def basic_chain(with_bypass: bool = True) -> ChainSpec:
         ),
         with_bypass=with_bypass,
     )
+
+
+def chain_preset(name: str, with_bypass: bool = True) -> ChainSpec:
+    """Named chains mirroring the PST benchmark's chain types
+    (reference: scripts/eval/eval_pst.py:206-649). The reference's VST
+    chains (ZamEQ2/ZaMultiCompX2/TubeScreamer/TAL-Reverb-4/...) map to the
+    native effect classes they implement.
+
+    general:   distortion -> EQ -> compressor -> delay -> reverb
+    simple:    EQ -> compressor
+    speech:    EQ -> compressor -> distortion -> reverb
+    mastering: EQ -> compressor -> limiter
+    vocals:    EQ -> compressor -> delay -> reverb
+    guitar:    distortion -> EQ -> reverb
+    """
+    presets = {
+        "general": (basic_distortion(), basic_parametric_eq(),
+                    basic_compressor(), basic_delay(), basic_reverb()),
+        "simple": (basic_parametric_eq(), basic_compressor()),
+        "speech": (basic_parametric_eq(), basic_compressor(),
+                   basic_distortion(), basic_reverb()),
+        "mastering": (basic_parametric_eq(), basic_compressor(),
+                      basic_limiter()),
+        "vocals": (basic_parametric_eq(), basic_compressor(), basic_delay(),
+                   basic_reverb()),
+        "guitar": (basic_distortion(), basic_parametric_eq(), basic_reverb()),
+    }
+    if name not in presets:
+        raise ValueError(f"unknown chain preset: {name} "
+                         f"(have {sorted(presets)})")
+    return ChainSpec(stages=presets[name], with_bypass=with_bypass)

@@ -125,7 +125,8 @@ def main(argv=None):
     input_name = os.path.basename(args.input).replace(".wav", "")
     input_audio = jnp.asarray(input_audio)
     if input_sr != sample_rate:
-        input_audio = resample(input_audio, input_sr, sample_rate)
+        input_audio = jax.jit(
+            lambda a: resample(a, input_sr, sample_rate))(input_audio)
 
     # ---- metric ----
     if args.metric == "param":
@@ -155,21 +156,24 @@ def main(argv=None):
             w_target[:3] = [0.1, 0.5, 0.2]
             w_target[15:18] = [0.7, 0.5, 0.2]
             w_target[18:24] = [0.8, 0.3, 0.1, 0.1, 0.5, 0.1]
-            target_audio = proc.apply_complex_autodiff_processor(
-                input_audio[None], jnp.asarray(w_target)[None], sample_rate
-            )[0]
+            target_audio = jax.jit(
+                lambda a, w: proc.apply_complex_autodiff_processor(
+                    a[None], w[None], sample_rate)[0]
+            )(input_audio, jnp.asarray(w_target))
         else:
             from st_ito_tpu.chain import build_render_fn
 
             w_target = synthetic_target_params(chain)
-            render = build_render_fn(chain, sample_rate, input_audio.shape[0])
+            render = jax.jit(
+                build_render_fn(chain, sample_rate, input_audio.shape[0]))
             target_audio = render(jnp.asarray(w_target, jnp.float32), input_audio)
         target_name = "synthetic_target"
     else:
         target_np, target_sr = load_audio(args.target)
         target_audio = jnp.asarray(target_np)
         if target_sr != sample_rate:
-            target_audio = resample(target_audio, target_sr, sample_rate)
+            target_audio = jax.jit(
+                lambda a: resample(a, target_sr, sample_rate))(target_audio)
         target_name = os.path.basename(args.target).replace(".wav", "")
 
     input_audio = input_audio[:, : args.max_length]

@@ -21,6 +21,10 @@ from st_ito_tpu.ops.iir import apply_iir_fsm, biquad_coeffs
 # ------------- style renderers (bright/warm/broadcast/telephone) -----------
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("style", "sample_rate"))
 def render_style(x: jnp.ndarray, style: str, sample_rate: int) -> jnp.ndarray:
     """Apply one of the five reference styles to (C, T) audio."""
     if style == "neutral":

@@ -8,6 +8,7 @@ heads used to score outputs against targets
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from st_ito_tpu.features import get_mir_feature_embeds, load_mir_feature_extractor
@@ -37,7 +38,9 @@ def cosine(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return num / jnp.maximum(den, 1e-12)
 
 
+@jax.jit
 def style_similarity(embeds_a: dict, embeds_b: dict) -> jnp.ndarray:
-    """Mean cosine similarity over embedding heads; (bs,)."""
-    sims = [cosine(embeds_a[k], embeds_b[k]) for k in embeds_a]
+    """Mean cosine similarity over embedding heads; (bs,). Jitted (eager
+    dispatch is unavailable on some TPU backends)."""
+    sims = [cosine(embeds_a[k], embeds_b[k]) for k in sorted(embeds_a)]
     return jnp.mean(jnp.stack(sims, axis=0), axis=0)

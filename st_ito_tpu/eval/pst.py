@@ -14,12 +14,17 @@ import os
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from st_ito_tpu.eval.metrics import style_similarity
 from st_ito_tpu.ops.loudness import loudness_normalize
 from st_ito_tpu.ops.waveshape import fade_in
 from st_ito_tpu.utils import save_audio
+
+_fade_jit = jax.jit(fade_in, static_argnames=("num_samples",))
+_loudnorm_jit = jax.jit(loudness_normalize,
+                        static_argnames=("sample_rate", "target_lufs"))
 
 
 def run_pst_benchmark(
@@ -42,8 +47,8 @@ def run_pst_benchmark(
         x = jnp.asarray(ex["input"])[None]  # (1, C, T)
         y = jnp.asarray(ex["target"])[None]
         if fade_samples:
-            x = fade_in(x, fade_samples)
-            y = fade_in(y, fade_samples)
+            x = _fade_jit(x, num_samples=fade_samples)
+            y = _fade_jit(y, num_samples=fade_samples)
 
         target_embeds = {
             m: embed_func(y, model, sample_rate)
@@ -72,7 +77,8 @@ def run_pst_benchmark(
             if output_dir:
                 ex_dir = os.path.join(output_dir, name)
                 os.makedirs(ex_dir, exist_ok=True)
-                norm = loudness_normalize(output_audio, sample_rate, target_lufs)
+                norm = _loudnorm_jit(output_audio, sample_rate=sample_rate,
+                                     target_lufs=target_lufs)
                 save_audio(os.path.join(ex_dir, f"{method_name}.wav"),
                            np.asarray(norm[0]), sample_rate)
 
@@ -80,7 +86,8 @@ def run_pst_benchmark(
             ex_dir = os.path.join(output_dir, name)
             os.makedirs(ex_dir, exist_ok=True)
             for tag, sig in (("input", x), ("target", y)):
-                norm = loudness_normalize(sig, sample_rate, target_lufs)
+                norm = _loudnorm_jit(sig, sample_rate=sample_rate,
+                                     target_lufs=target_lufs)
                 save_audio(os.path.join(ex_dir, f"{tag}.wav"),
                            np.asarray(norm[0]), sample_rate)
 

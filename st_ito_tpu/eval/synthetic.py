@@ -55,10 +55,11 @@ def evaluate_outputs(
     {mrstft, style_sim} (reference: eval_obj.py:14-88)."""
     t = jnp.asarray(target)[None]
     target_embeds = embed_func(t, model, sample_rate)
+    mrstft_jit = jax.jit(multi_resolution_stft_loss)
     results = {}
     for name, y in outputs.items():
         y = jnp.asarray(y)
-        mrstft = float(multi_resolution_stft_loss(y, t))
+        mrstft = float(mrstft_jit(y, t))
         e = embed_func(y, model, sample_rate)
         sim = float(np.asarray(style_similarity(e, target_embeds)).mean())
         results[name] = {"mrstft": mrstft, "style_sim": sim}

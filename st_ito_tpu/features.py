@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from st_ito_tpu.ops.loudness import integrated_loudness
@@ -152,16 +153,23 @@ def compute_spectral_centroid(
     return sc / (sample_rate / 2.0)
 
 
-def get_mir_feature_embeds(x, model, sample_rate, **kwargs):
-    """MIR feature dict (reference: st_ito/utils.py:76-94)."""
+def _mir_embeds_core(x, sample_rate: int):
     return {
         "lufs": compute_lufs(x, sample_rate),
         "rms": compute_rms_energy(x),
         "crest": compute_crest_factor(x),
-        "barkspectrum": compute_barkspectrum(x, sample_rate=int(sample_rate),
+        "barkspectrum": compute_barkspectrum(x, sample_rate=sample_rate,
                                              mode="mono"),
         "spectral_centroid": compute_spectral_centroid(x, sample_rate),
     }
+
+
+_mir_embeds_jit = jax.jit(_mir_embeds_core, static_argnames=("sample_rate",))
+
+
+def get_mir_feature_embeds(x, model, sample_rate, **kwargs):
+    """MIR feature dict (reference: st_ito/utils.py:76-94). Jitted."""
+    return _mir_embeds_jit(x, int(sample_rate))
 
 
 class _MIRModel:

@@ -121,6 +121,30 @@ def _l2_normalize(e: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), eps)
 
 
+def _param_embed_core(params, x, rng, config: Cnn14Config, in_sr: int,
+                      peak_normalize: bool, dropout: float):
+    if in_sr != int(config.sample_rate):
+        x = resample(x, in_sr, int(config.sample_rate))
+    if peak_normalize:
+        peak = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
+        x = x / jnp.maximum(peak, 1e-8)
+    mid, side = cnn14_apply(params, x, config, training=False)
+    if dropout > 0.0 and rng is not None:
+        k1, k2 = jax.random.split(rng)
+        keep = 1.0 - dropout
+        mid = jnp.where(jax.random.bernoulli(k1, keep, mid.shape), mid / keep, 0.0)
+        side = jnp.where(jax.random.bernoulli(k2, keep, side.shape), side / keep, 0.0)
+    mid = jnp.nan_to_num(mid)
+    side = jnp.nan_to_num(side)
+    return {"mid": _l2_normalize(mid), "side": _l2_normalize(side)}
+
+
+_param_embed_jit = jax.jit(
+    _param_embed_core, static_argnames=("config", "in_sr", "peak_normalize",
+                                        "dropout"),
+)
+
+
 def get_param_embeds(
     x: jnp.ndarray,
     model: ParamModel,
@@ -135,32 +159,14 @@ def get_param_embeds(
     {"mid": (bs, 512), "side": (bs, 512)}, L2-normalized
     (reference: st_ito/utils.py:444-508).
 
-    Inside a jitted program, pass the weights via ``params`` so they enter
-    through the jit boundary instead of being captured as constants.
+    Always executes as a jitted program (eager op-by-op dispatch is
+    unimplemented on some TPU backends). Inside a larger jitted program,
+    pass the weights via ``params`` so they enter through the jit boundary
+    instead of being captured as constants.
     """
-    if sample_rate != model.config.sample_rate:
-        x = resample(x, int(sample_rate), int(model.config.sample_rate))
-
-    if peak_normalize:
-        peak = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
-        x = x / jnp.maximum(peak, 1e-8)
-
-    if params is not None:
-        mid, side = model.apply(params, x)
-    elif requires_grad:
-        mid, side = cnn14_apply(model.params, x, model.config, training=False)
-    else:
-        mid, side = model(x)
-
-    if dropout > 0.0 and rng is not None:
-        k1, k2 = jax.random.split(rng)
-        keep = 1.0 - dropout
-        mid = jnp.where(jax.random.bernoulli(k1, keep, mid.shape), mid / keep, 0.0)
-        side = jnp.where(jax.random.bernoulli(k2, keep, side.shape), side / keep, 0.0)
-
-    mid = jnp.nan_to_num(mid)
-    side = jnp.nan_to_num(side)
-    return {"mid": _l2_normalize(mid), "side": _l2_normalize(side)}
+    p = params if params is not None else model.params
+    return _param_embed_jit(p, x, rng, model.config, int(sample_rate),
+                            peak_normalize, float(dropout))
 
 
 def get_param_embeds_chunked(
@@ -297,6 +303,28 @@ def load_mfcc_feature_extractor(use_gpu: bool = False) -> MFCCFeatureExtractor:
     return MFCCFeatureExtractor()
 
 
+def _mfcc_embed_core(x, in_sr: int, model_sr: int, n_mfcc: int, midside: bool):
+    bs, chs, _ = x.shape
+    if in_sr != model_sr:
+        x = resample(x, in_sr, model_sr)
+    if chs == 2 and midside:
+        x = jnp.stack([x[:, 0] + x[:, 1], x[:, 0] - x[:, 1]], axis=1)
+    else:
+        x = jnp.mean(x, axis=1, keepdims=True)
+    M = _mfcc(x, model_sr, n_mfcc=n_mfcc)  # (bs, ch, frames, n_mfcc)
+    M = jnp.swapaxes(M, -1, -2)  # stats over frames
+    feats = jnp.concatenate(
+        [M.mean(axis=-1), M.std(axis=-1), M.max(axis=-1)], axis=-1
+    ).reshape(bs, -1)
+    return {"mono": _l2_normalize(feats)}
+
+
+_mfcc_embed_jit = jax.jit(
+    _mfcc_embed_core,
+    static_argnames=("in_sr", "model_sr", "n_mfcc", "midside"),
+)
+
+
 def get_mfcc_feature_embeds(
     x: jnp.ndarray,
     model: MFCCFeatureExtractor,
@@ -304,16 +332,5 @@ def get_mfcc_feature_embeds(
     midside: bool = False,
     **kwargs,
 ) -> dict[str, jnp.ndarray]:
-    bs, chs, _ = x.shape
-    if sample_rate != model.sample_rate:
-        x = resample(x, int(sample_rate), model.sample_rate)
-    if chs == 2 and midside:
-        x = jnp.stack([x[:, 0] + x[:, 1], x[:, 0] - x[:, 1]], axis=1)
-    else:
-        x = jnp.mean(x, axis=1, keepdims=True)
-    M = _mfcc(x, model.sample_rate, n_mfcc=model.n_mfcc)  # (bs, ch, frames, n_mfcc)
-    M = jnp.swapaxes(M, -1, -2)  # stats over frames
-    feats = jnp.concatenate(
-        [M.mean(axis=-1), M.std(axis=-1), M.max(axis=-1)], axis=-1
-    ).reshape(bs, -1)
-    return {"mono": _l2_normalize(feats)}
+    return _mfcc_embed_jit(x, int(sample_rate), model.sample_rate,
+                           model.n_mfcc, midside)

@@ -41,17 +41,25 @@ def save_audio(path: str, audio, sample_rate: int) -> None:
     wavfile.write(path, sample_rate, (audio.T * 32767.0).astype(np.int16))
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
 def apply_fade_in(x: jnp.ndarray, num_samples: int = 16384) -> jnp.ndarray:
     from st_ito_tpu.ops.waveshape import fade_in
 
     return fade_in(x, num_samples)
 
 
+@jax.jit
 def batch_peak_normalize(x: jnp.ndarray) -> jnp.ndarray:
     peak = jnp.max(jnp.abs(x), axis=tuple(range(1, x.ndim)), keepdims=True)
     return x / jnp.maximum(peak, 1e-8)
 
 
+@functools.partial(jax.jit, static_argnames=("sample_rate", "target_lufs"))
 def batch_loudness_normalize(
     x: jnp.ndarray, sample_rate: int, target_lufs: float
 ) -> jnp.ndarray:
