@@ -42,6 +42,8 @@ class Cnn14Config:
     use_batchnorm: bool = True
     input_norm: str = "minmax"
     base_channels: int = 64  # 64 = the reference Cnn14; smaller for tests
+    compute_dtype: str = "float32"  # "bfloat16" runs the conv stack on the
+    # MXU in half precision (fitness/ranking paths); params & heads stay f32
 
     # deployed AFx-Rep config = cfg/model/pretext/param-panns-concat-l2.yaml
 
@@ -94,8 +96,9 @@ def init_cnn14_params(key, config: Cnn14Config) -> Params:
 
 def _conv3x3(x, w):
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        x, w.astype(x.dtype), window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -124,12 +127,13 @@ def _avg_pool_2x2(x):
     ) / 4.0
 
 
-def _conv_block(x, block, training, dropout_rng, use_batchnorm, pool):
-    h = _conv3x3(x, block["conv1"]["weight"])
+def _conv_block(x, block, training, dropout_rng, use_batchnorm, pool,
+                compute_dtype=jnp.float32):
+    h = _conv3x3(x.astype(compute_dtype), block["conv1"]["weight"])
     if use_batchnorm:
         h, _ = _batchnorm(h, block["bn1"], training)
     h = jax.nn.relu(h)
-    h = _conv3x3(h, block["conv2"]["weight"])
+    h = _conv3x3(h.astype(compute_dtype), block["conv2"]["weight"])
     if use_batchnorm:
         h, _ = _batchnorm(h, block["bn2"], training)
     h = jax.nn.relu(h)
@@ -171,13 +175,10 @@ def _spec_augment(x, rng, time_drop_width=64, time_stripes=2,
 
 def _logmel_frontend(x, config: Cnn14Config, mel_matrix, window):
     """(N, T) -> (N, 1, frames, mel_bins), torchlibrosa parity."""
+    from st_ito_tpu.ops.stft import frame_signal
+
     n_fft, hop = config.window_size, config.hop_size
-    pad = [(0, 0), (n_fft // 2, n_fft // 2)]
-    xp = jnp.pad(x, pad, mode="reflect")
-    T = xp.shape[-1]
-    n_frames = (T - n_fft) // hop + 1
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    frames = xp[:, idx] * window  # (N, frames, n_fft)
+    frames = frame_signal(x, n_fft, hop, center=True) * window
     S = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
     mel = S @ mel_matrix
     mel_db = power_to_db(mel, ref=1.0, amin=1e-10, top_db=None)
@@ -226,13 +227,14 @@ def cnn14_apply(
         rng, aug_rng = jax.random.split(rng)
         h = _spec_augment(h, aug_rng)
 
+    compute_dtype = jnp.dtype(config.compute_dtype)
     for i in range(6):
         pool = i < 5  # block6 uses pool_size (1,1) (panns.py:260)
         drop_rng = None
         if training and rng is not None:
             rng, drop_rng = jax.random.split(rng)
         h = _conv_block(h, params[f"conv_block{i + 1}"], training, drop_rng,
-                        config.use_batchnorm, pool)
+                        config.use_batchnorm, pool, compute_dtype)
 
     h = jnp.mean(h, axis=3)  # mean over mel
     h = jnp.max(h, axis=2) + jnp.mean(h, axis=2)  # (N, 2048)

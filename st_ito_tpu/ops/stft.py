@@ -35,12 +35,22 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> j
 
     center=True reflect-pads by n_fft//2 on both sides (librosa/torchlibrosa
     convention); n_frames = T // hop + 1.
+
+    Fast path for 50%-overlap framing (n_fft == 2*hop, the AFx-Rep config):
+    a reshape into hop-size blocks + concat of consecutive block pairs —
+    no gather of n_frames*n_fft indices.
     """
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, pad, mode="reflect")
     T = x.shape[-1]
     n_frames = (T - n_fft) // hop + 1
+
+    if n_fft == 2 * hop:
+        usable = (n_frames + 1) * hop  # blocks needed: n_frames + 1
+        b = x[..., :usable].reshape(*x.shape[:-1], n_frames + 1, hop)
+        return jnp.concatenate([b[..., :-1, :], b[..., 1:, :]], axis=-1)
+
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
     return jnp.take(x, idx, axis=-1)
 
