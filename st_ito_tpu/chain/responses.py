@@ -27,11 +27,13 @@ from st_ito_tpu.ops.reverb import _ALLPASS_TUNINGS, _COMB_TUNINGS, _STEREO_SPREA
 
 
 def _freqz_omega(b, a, omega):
-    """b, a: (..., 3); omega: (F,). Returns (..., F) complex64."""
-    z1 = jnp.exp(-1j * omega)
-    z2 = z1 * z1
-    num = (b[..., 0:1] + b[..., 1:2] * z1 + b[..., 2:3] * z2)
-    den = (a[..., 0:1] + a[..., 1:2] * z1 + a[..., 2:3] * z2)
+    """b, a: (..., 3); omega: (F,). Returns (..., F) complex64.
+    Uses the cancellation-stable evaluation (see ops.iir._eval_biquad_poly)."""
+    from st_ito_tpu.ops.iir import _eval_biquad_poly, _unit_circle_uv
+
+    u, v = _unit_circle_uv(omega)
+    num = _eval_biquad_poly(b, u, v, floor_sum=False)
+    den = _eval_biquad_poly(a, u, v, floor_sum=True)
     return num / den
 
 

@@ -51,6 +51,21 @@ def _embedding_distance(output_embeds, target_embeds, content_scale=None):
 
 
 _FITNESS_CACHE: dict = {}
+_RENDER_CACHE: dict = {}
+
+
+def _cached_render(chain, sample_rate, num_channels, normalize_stages=False,
+                   batched=False):
+    key = (id(chain), sample_rate, num_channels, normalize_stages, batched)
+    if key not in _RENDER_CACHE:
+        if batched:
+            fn = jax.jit(build_batched_render_fn(chain, sample_rate,
+                                                 num_channels, fast=True))
+        else:
+            fn = jax.jit(build_render_fn(chain, sample_rate, num_channels,
+                                         normalize_stages=normalize_stages))
+        _RENDER_CACHE[key] = (fn, chain)  # hold chain ref so id stays valid
+    return _RENDER_CACHE[key][0]
 
 
 def make_fitness_fn(
@@ -312,8 +327,8 @@ def run_es(
     elapsed = time.time() - t_start
     wopt, fopt = es.result
 
-    render = jax.jit(build_render_fn(chain, sample_rate, x_full.shape[0],
-                                     normalize_stages=normalize_stages))
+    render = _cached_render(chain, sample_rate, x_full.shape[0],
+                            normalize_stages)
     output_audio = render(jnp.asarray(wopt, jnp.float32), x_full)[None]
 
     return {
@@ -433,8 +448,8 @@ def run_es_multitrack(
                 f"{es.result[1]:+.4f}" for es in ess))
 
     elapsed = time.time() - t_start
-    final_render = jax.jit(build_batched_render_fn(
-        chain, sample_rate, input_audio.shape[1], fast=True))
+    final_render = _cached_render(chain, sample_rate, input_audio.shape[1],
+                                  batched=True)
     W_opt = jnp.asarray(np.stack([es.result[0] for es in ess]), jnp.float32)
     output_audio = final_render(W_opt, input_audio)
 
@@ -508,7 +523,7 @@ def run_staged_es(
             print(f"stage {stage.name}: fbest {es.result[1]:+.5f}")
 
     elapsed = time.time() - t_start
-    render = jax.jit(build_render_fn(chain, sample_rate, x_full.shape[0]))
+    render = _cached_render(chain, sample_rate, x_full.shape[0])
     output_audio = render(jnp.asarray(w_full, jnp.float32), x_full)[None]
     return {
         "output_audio": output_audio,
@@ -640,7 +655,7 @@ def run_random(input_audio, target_audio, sample_rate, chain: ChainSpec,
     rng = np.random.default_rng(seed)
     w = rng.random(chain.num_params)
     t0 = time.time()
-    render = jax.jit(build_render_fn(chain, sample_rate, input_audio.shape[1]))
+    render = _cached_render(chain, sample_rate, input_audio.shape[1])
     y = render(jnp.asarray(w, jnp.float32), input_audio[0])[None]
     return {
         "output_audio": y,

@@ -133,16 +133,55 @@ def biquad_coeffs(
 # --------------------------------------------------------------------------
 
 
+def _eval_biquad_poly(c: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                      floor_sum: bool) -> jnp.ndarray:
+    """Numerically stable evaluation of c0 + c1 z^-1 + c2 z^-2 on the unit
+    circle, written as  S - c1*(1 - z^-1) - c2*(1 - z^-2)  with
+    S = c0+c1+c2.
+
+    Rationale: near w = 0 the direct polynomial sum cancels catastrophically
+    in float32 for low-frequency high-Q biquads (S ~ w0^2 while the terms
+    are O(1)); on TPU the denominator can round to EXACTLY zero, turning the
+    DC bin into NaN and poisoning the whole FFT-filtered signal. The
+    reformulated evaluation keeps all cancellation inside the single sum S,
+    and (for denominators) S is floored away from exact zero.
+    """
+    S = c[..., 0] + c[..., 1] + c[..., 2]
+    if floor_sum:
+        eps = 1e-7 * (jnp.abs(c[..., 0]) + jnp.abs(c[..., 1])
+                      + jnp.abs(c[..., 2]))
+        S = jnp.where(jnp.abs(S) < eps, eps, S)
+    return (S[..., None].astype(jnp.complex64)
+            - c[..., 1:2].astype(jnp.complex64) * u
+            - c[..., 2:3].astype(jnp.complex64) * v)
+
+
+def _unit_circle_uv(w: jnp.ndarray):
+    """u = 1 - e^{-jw}, v = 1 - e^{-j2w}, computed in their stable
+    half-angle forms (no 1-cos cancellation)."""
+    sh, ch = jnp.sin(w / 2.0), jnp.cos(w / 2.0)
+    u = 2.0 * sh * (sh + 1j * ch)
+    sw, cw = jnp.sin(w), jnp.cos(w)
+    v = 2.0 * sw * (sw + 1j * cw)
+    return u.astype(jnp.complex64), v.astype(jnp.complex64)
+
+
 def freqz(b: jnp.ndarray, a: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
     """Complex frequency response of IIR sections on the rFFT grid of size
     ``2*(n_freqs-1)``.
 
-    b, a: (..., K) polynomial coefficients (any order K-1).
+    b, a: (..., K) polynomial coefficients. Second-order sections (K=3) use
+    the cancellation-stable evaluation (see _eval_biquad_poly); higher
+    orders fall back to the direct polynomial sum.
     Returns H with shape (..., n_freqs), complex64.
     """
-    # z^{-k} on the rfft grid: exp(-j * w * k), w = pi * m / (n_freqs - 1)
-    k = jnp.arange(b.shape[-1], dtype=jnp.float32)
     w = jnp.linspace(0.0, math.pi, n_freqs, dtype=jnp.float32)
+    if b.shape[-1] == 3 and a.shape[-1] == 3:
+        u, v = _unit_circle_uv(w)
+        num = _eval_biquad_poly(b, u, v, floor_sum=False)
+        den = _eval_biquad_poly(a, u, v, floor_sum=True)
+        return num / den
+    k = jnp.arange(b.shape[-1], dtype=jnp.float32)
     zk = jnp.exp(-1j * w[:, None] * k[None, :])  # (n_freqs, K)
     num = jnp.einsum("...k,fk->...f", b.astype(jnp.complex64), zk)
     den = jnp.einsum("...k,fk->...f", a.astype(jnp.complex64), zk)
