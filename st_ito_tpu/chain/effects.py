@@ -66,7 +66,8 @@ def basic_parametric_eq(fixed: Mapping[str, float] | None = None) -> StageSpec:
 
     return StageSpec("ParametricEQ", "parametric_eq", params, process,
                      num_channels=1, fixed_parameters=fixed or {},
-                     response_fn=_resp.eq_response, pad=8192)
+                     response_fn=_resp.eq_response, pad=8192,
+                     fast_batched_fn=_resp.eq_fast_batched)
 
 
 def basic_compressor(fixed: Mapping[str, float] | None = None) -> StageSpec:

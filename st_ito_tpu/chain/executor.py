@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from st_ito_tpu.chain.params import ChainSpec, StageSpec
@@ -115,10 +116,16 @@ def build_batched_render_fn(
     slices = chain.stage_slices()
     bypass_off = 1 if chain.with_bypass else 0
 
+    # Pallas fast paths (e.g. the exact biquad-cascade EQ) take precedence
+    # over the FFT response path when fast inference is on and we're on TPU.
+    use_pallas = fast and jax.default_backend() == "tpu"
+
     # static plan: group consecutive response-capable stages
     plan: list[tuple[str, list[int]]] = []
     for i, (stage, _, _) in enumerate(slices):
-        if stage.response_fn is not None:
+        if use_pallas and stage.fast_batched_fn is not None:
+            plan.append(("fast", [i]))
+        elif stage.response_fn is not None:
             if fuse_lti and plan and plan[-1][0] == "lti":
                 plan[-1][1].append(i)
             else:
@@ -148,10 +155,13 @@ def build_batched_render_fn(
                 x = jnp.concatenate([x, x], axis=1)
             C = x.shape[1]
 
-            if kind == "nl":
+            if kind in ("nl", "fast"):
                 stage, start, _ = stages[0]
                 params = stage_params(stage, W, start)
-                y = stage.batched_fn(x, params, sample_rate, fast)
+                if kind == "fast":
+                    y = stage.fast_batched_fn(x, params, sample_rate, fast)
+                else:
+                    y = stage.batched_fn(x, params, sample_rate, fast)
                 if chain.with_bypass:
                     active = (W[:, start] <= 0.5)[:, None, None]
                     y = jnp.where(active, y, x)

@@ -63,6 +63,9 @@ class StageSpec:
     response_fn: Callable | None = None
     batched_fn: Callable | None = None
     pad: int = 8192
+    # optional TPU fast path that beats the response_fn FFT application
+    # (e.g. the Pallas biquad cascade); used when fast=True on TPU
+    fast_batched_fn: Callable | None = None
 
     @property
     def param_names(self) -> tuple[str, ...]:
