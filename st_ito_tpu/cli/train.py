@@ -32,7 +32,11 @@ def load_config(path: str) -> dict:
         return yaml.safe_load(f)
 
 
-def _encoder_config(d: dict):
+def _encoder_config(d: dict, encoder_type: str = "cnn14"):
+    if encoder_type == "dstcn":
+        from st_ito_tpu.models.encoders import DsTCNConfig
+
+        return DsTCNConfig(**d)
     from st_ito_tpu.models.cnn14 import Cnn14Config
 
     return Cnn14Config(**d)
@@ -125,7 +129,8 @@ def train_pretext(cfg: dict, args) -> None:
     from st_ito_tpu.train.param import param_estimator_loss
 
     model_cfg = dict(cfg.get("model", {}))
-    enc = _encoder_config(model_cfg.pop("encoder", {}))
+    encoder_type = model_cfg.get("encoder_type", "cnn14")
+    enc = _encoder_config(model_cfg.pop("encoder", {}), encoder_type)
     pcfg = ParamEstimatorConfig(encoder=enc, **model_cfg)
 
     run_dir = args.run_dir or os.path.join("runs", cfg.get("name", "pretext"))

@@ -19,10 +19,38 @@ from st_ito_tpu.models.registry import (
     load_param_model,
 )
 
+def _load_fx_encoder():
+    from st_ito_tpu.models.encoders import load_fx_encoder_model
+
+    return load_fx_encoder_model(
+        ckpt_path="checkpoints/FXencoder_ps.pt", allow_random=False)
+
+
+def _get_fx_encoder_embeds(x, model, sample_rate, **kw):
+    from st_ito_tpu.models.encoders import get_fx_encoder_embeds
+
+    return get_fx_encoder_embeds(x, model, sample_rate, **kw)
+
+
+def _load_clap():
+    from st_ito_tpu.models.registry import load_clap_model
+
+    return load_clap_model()
+
+
+def _get_clap_embeds(x, model, sample_rate, **kw):
+    from st_ito_tpu.models.registry import get_clap_embeds
+
+    return get_clap_embeds(x, model, sample_rate, **kw)
+
+
 METRICS = {
     "param": (load_param_model, get_param_embeds),
     "mfcc": (load_mfcc_feature_extractor, get_mfcc_feature_embeds),
     "mir": (load_mir_feature_extractor, get_mir_feature_embeds),
+    # checkpoint-gated baselines (reference: utils.py:389-438, 554-608)
+    "clap": (_load_clap, _get_clap_embeds),
+    "fx-encoder": (_load_fx_encoder, _get_fx_encoder_embeds),
 }
 
 

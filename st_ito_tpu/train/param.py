@@ -37,7 +37,8 @@ from st_ito_tpu.models.cnn14 import Cnn14Config, cnn14_apply, init_cnn14_params
 
 @dataclasses.dataclass(frozen=True)
 class ParamEstimatorConfig:
-    encoder: Cnn14Config = Cnn14Config()
+    encoder: Any = Cnn14Config()  # Cnn14Config | DsTCNConfig (hashable)
+    encoder_type: str = "cnn14"  # cnn14 | dstcn
     lr: float = 1e-4
     num_instances: int = 63
     num_presets: int = 10
@@ -52,6 +53,24 @@ class ParamEstimatorConfig:
     def head_input_dim(self) -> int:
         d = self.encoder.embed_dim
         return 4 * d if self.embed_mode == "concat" else 2 * d
+
+
+def _encoder_init(key, cfg: "ParamEstimatorConfig"):
+    if cfg.encoder_type == "cnn14":
+        return init_cnn14_params(key, cfg.encoder)
+    if cfg.encoder_type == "dstcn":
+        from st_ito_tpu.models.encoders import init_dstcn_params
+
+        return init_dstcn_params(key, cfg.encoder)
+    raise ValueError(f"unknown encoder_type: {cfg.encoder_type}")
+
+
+def _encoder_apply(params, x, cfg: "ParamEstimatorConfig", training, rng):
+    if cfg.encoder_type == "cnn14":
+        return cnn14_apply(params, x, cfg.encoder, training=training, rng=rng)
+    from st_ito_tpu.models.encoders import dstcn_apply
+
+    return dstcn_apply(params, x, cfg.encoder, training=training, rng=rng)
 
 
 @chex.dataclass
@@ -94,7 +113,7 @@ def init_param_estimator(key, cfg: ParamEstimatorConfig) -> ParamTrainState:
     k_enc, k_inst, k_pre, k_disc = jax.random.split(key, 4)
     in_dim = cfg.head_input_dim
     params = {
-        "encoder": init_cnn14_params(k_enc, cfg.encoder),
+        "encoder": _encoder_init(k_enc, cfg),
         "instance_estimator": _init_mlp(k_inst, in_dim, cfg.num_instances),
     }
     if cfg.num_presets > 0:
@@ -121,8 +140,8 @@ def _compute_feats(params, cfg: ParamEstimatorConfig, inputs, outputs,
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
-    out_mid, out_side = cnn14_apply(params["encoder"], outputs, cfg.encoder,
-                                    training=training, rng=r1)
+    out_mid, out_side = _encoder_apply(params["encoder"], outputs, cfg,
+                                       training, r1)
     if cfg.norm == "L2":
         out_mid = out_mid / jnp.maximum(
             jnp.linalg.norm(out_mid, axis=-1, keepdims=True), 1e-12)
@@ -132,8 +151,8 @@ def _compute_feats(params, cfg: ParamEstimatorConfig, inputs, outputs,
     if cfg.embed_mode == "blind":
         return jnp.concatenate([out_mid, out_side], axis=-1)
 
-    in_mid, in_side = cnn14_apply(params["encoder"], inputs, cfg.encoder,
-                                  training=training, rng=r2)
+    in_mid, in_side = _encoder_apply(params["encoder"], inputs, cfg,
+                                     training, r2)
     if cfg.norm == "L2":
         in_mid = in_mid / jnp.maximum(
             jnp.linalg.norm(in_mid, axis=-1, keepdims=True), 1e-12)

@@ -1,0 +1,85 @@
+"""Alternative encoders: dsTCN + FXencoder shapes, training integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from st_ito_tpu.models.encoders import (
+    DsTCNConfig,
+    FXEncoderConfig,
+    dstcn_apply,
+    fx_encoder_apply,
+    get_fx_encoder_embeds,
+    init_dstcn_params,
+    init_fx_encoder_params,
+    load_fx_encoder_model,
+)
+
+RNG = np.random.default_rng(19)
+
+
+def test_dstcn_shapes_and_downsampling():
+    cfg = DsTCNConfig(embed_dim=32, nblocks=4, channel_width=8)
+    params = init_dstcn_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(RNG.standard_normal((2, 1, 65536)).astype(np.float32))
+    mid, side = dstcn_apply(params, x, cfg)
+    assert mid.shape == (2, 32)
+    np.testing.assert_allclose(np.asarray(mid), np.asarray(side))
+    assert bool(jnp.isfinite(mid).all())
+
+
+def test_dstcn_stereo_input_conformed():
+    cfg = DsTCNConfig(embed_dim=16, nblocks=3, channel_width=8, ninputs=1)
+    params = init_dstcn_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(RNG.standard_normal((1, 2, 32768)).astype(np.float32))
+    mid, _ = dstcn_apply(params, x, cfg)
+    assert mid.shape == (1, 16)
+
+
+def test_fx_encoder_shapes():
+    params = init_fx_encoder_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(RNG.standard_normal((1, 2, 131072)).astype(np.float32) * 0.3)
+    e = fx_encoder_apply(params, x)
+    assert e.shape == (1, 2048)
+    assert bool(jnp.isfinite(e).all())
+
+
+def test_fx_encoder_registry_embeds():
+    model = load_fx_encoder_model(allow_random=True)
+    x = jnp.asarray(RNG.standard_normal((2, 2, 88200)).astype(np.float32) * 0.3)
+    e = get_fx_encoder_embeds(x, model, 44100)
+    assert set(e) == {"stereo"}
+    assert e["stereo"].shape == (2, 2048)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(e["stereo"]), axis=-1), 1.0, atol=1e-4)
+
+
+def test_pretext_training_with_dstcn():
+    from st_ito_tpu.train import (
+        ParamEstimatorConfig,
+        init_param_estimator,
+        make_param_train_step,
+    )
+
+    cfg = ParamEstimatorConfig(
+        encoder=DsTCNConfig(embed_dim=16, nblocks=3, channel_width=8,
+                            ninputs=2),
+        encoder_type="dstcn",
+        num_instances=3, num_presets=2, lr=1e-3,
+    )
+    state = init_param_estimator(jax.random.PRNGKey(0), cfg)
+    step = make_param_train_step(cfg)
+    bs, T = 4, 32768
+    batch = {
+        "inputs": jnp.asarray(RNG.standard_normal((bs, 2, T)).astype(np.float32) * 0.3),
+        "outputs": jnp.asarray(RNG.standard_normal((bs, 2, T)).astype(np.float32) * 0.3),
+        "instance_index": jnp.asarray(RNG.integers(0, 3, bs), jnp.int32),
+        "preset_index": jnp.asarray(RNG.integers(0, 2, bs), jnp.int32),
+        "tar_index": jnp.zeros(bs, jnp.int32),
+    }
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
