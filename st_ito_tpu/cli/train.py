@@ -37,6 +37,18 @@ def _encoder_config(d: dict, encoder_type: str = "cnn14"):
         from st_ito_tpu.models.encoders import DsTCNConfig
 
         return DsTCNConfig(**d)
+    if encoder_type == "gcn":
+        from st_ito_tpu.models.gcn import DeepGCNConfig
+
+        return DeepGCNConfig(**d)
+    if encoder_type == "htsat":
+        from st_ito_tpu.models.htsat import HTSATConfig
+
+        d = dict(d)
+        for k in ("depths", "heads"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return HTSATConfig(**d)
     from st_ito_tpu.models.cnn14 import Cnn14Config
 
     return Cnn14Config(**d)

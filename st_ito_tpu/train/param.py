@@ -62,15 +62,31 @@ def _encoder_init(key, cfg: "ParamEstimatorConfig"):
         from st_ito_tpu.models.encoders import init_dstcn_params
 
         return init_dstcn_params(key, cfg.encoder)
+    if cfg.encoder_type == "gcn":
+        from st_ito_tpu.models.gcn import init_deepgcn_params
+
+        return init_deepgcn_params(key, cfg.encoder)
+    if cfg.encoder_type == "htsat":
+        from st_ito_tpu.models.htsat import init_htsat_params
+
+        return init_htsat_params(key, cfg.encoder)
     raise ValueError(f"unknown encoder_type: {cfg.encoder_type}")
 
 
 def _encoder_apply(params, x, cfg: "ParamEstimatorConfig", training, rng):
     if cfg.encoder_type == "cnn14":
         return cnn14_apply(params, x, cfg.encoder, training=training, rng=rng)
-    from st_ito_tpu.models.encoders import dstcn_apply
+    if cfg.encoder_type == "dstcn":
+        from st_ito_tpu.models.encoders import dstcn_apply
 
-    return dstcn_apply(params, x, cfg.encoder, training=training, rng=rng)
+        return dstcn_apply(params, x, cfg.encoder, training=training, rng=rng)
+    if cfg.encoder_type == "gcn":
+        from st_ito_tpu.models.gcn import deepgcn_apply
+
+        return deepgcn_apply(params, x, cfg.encoder, training=training, rng=rng)
+    from st_ito_tpu.models.htsat import htsat_apply
+
+    return htsat_apply(params, x, cfg.encoder, training=training, rng=rng)
 
 
 @chex.dataclass

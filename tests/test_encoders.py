@@ -83,3 +83,56 @@ def test_pretext_training_with_dstcn():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_gcn_encoder_forward_and_train_step():
+    from st_ito_tpu.models.gcn import DeepGCNConfig
+    from st_ito_tpu.train import (
+        ParamEstimatorConfig,
+        init_param_estimator,
+        make_param_train_step,
+    )
+
+    cfg = ParamEstimatorConfig(
+        encoder=DeepGCNConfig(embed_dim=16, model_size="t", num_frames=64),
+        encoder_type="gcn", num_instances=3, num_presets=0, lr=1e-3,
+    )
+    state = init_param_estimator(jax.random.PRNGKey(0), cfg)
+    step = make_param_train_step(cfg)
+    bs, T = 2, 33792
+    batch = {
+        "inputs": jnp.asarray(RNG.standard_normal((bs, 2, T)).astype(np.float32) * 0.3),
+        "outputs": jnp.asarray(RNG.standard_normal((bs, 2, T)).astype(np.float32) * 0.3),
+        "instance_index": jnp.asarray(RNG.integers(0, 3, bs), jnp.int32),
+        "preset_index": jnp.zeros(bs, jnp.int32),
+        "tar_index": jnp.zeros(bs, jnp.int32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_htsat_encoder_forward_and_train_step():
+    from st_ito_tpu.models.htsat import HTSATConfig
+    from st_ito_tpu.train import (
+        ParamEstimatorConfig,
+        init_param_estimator,
+        make_param_train_step,
+    )
+
+    cfg = ParamEstimatorConfig(
+        encoder=HTSATConfig(embed_dim=16, dim=16, depths=(1, 1, 1, 1),
+                            heads=(2, 2, 4, 4), num_frames=64),
+        encoder_type="htsat", num_instances=3, num_presets=0, lr=1e-3,
+    )
+    state = init_param_estimator(jax.random.PRNGKey(0), cfg)
+    step = make_param_train_step(cfg)
+    bs, T = 2, 65536
+    batch = {
+        "inputs": jnp.asarray(RNG.standard_normal((bs, 2, T)).astype(np.float32) * 0.3),
+        "outputs": jnp.asarray(RNG.standard_normal((bs, 2, T)).astype(np.float32) * 0.3),
+        "instance_index": jnp.asarray(RNG.integers(0, 3, bs), jnp.int32),
+        "preset_index": jnp.zeros(bs, jnp.int32),
+        "tar_index": jnp.zeros(bs, jnp.int32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
