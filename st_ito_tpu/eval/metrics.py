@@ -32,6 +32,18 @@ def _get_fx_encoder_embeds(x, model, sample_rate, **kw):
     return get_fx_encoder_embeds(x, model, sample_rate, **kw)
 
 
+def _load_beats():
+    from st_ito_tpu.models.beats import load_beats_model
+
+    return load_beats_model(ckpt_path="checkpoints/BEATs_iter3_plus_AS2M.pt")
+
+
+def _get_beats_embeds(x, model, sample_rate, **kw):
+    from st_ito_tpu.models.beats import get_beats_embeds
+
+    return get_beats_embeds(x, model, sample_rate, **kw)
+
+
 def _load_clap():
     from st_ito_tpu.models.registry import load_clap_model
 
@@ -51,6 +63,7 @@ METRICS = {
     # checkpoint-gated baselines (reference: utils.py:389-438, 554-608)
     "clap": (_load_clap, _get_clap_embeds),
     "fx-encoder": (_load_fx_encoder, _get_fx_encoder_embeds),
+    "beats": (_load_beats, _get_beats_embeds),
 }
 
 

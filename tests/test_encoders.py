@@ -136,3 +136,25 @@ def test_htsat_encoder_forward_and_train_step():
     }
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_beats_encoder():
+    from st_ito_tpu.models.beats import (
+        BEATsConfig,
+        BEATsModel,
+        get_beats_embeds,
+        init_beats_params,
+        load_beats_model,
+    )
+    import pytest
+
+    cfg = BEATsConfig(embed_dim=32, depth=2, heads=4)
+    m = BEATsModel(params=init_beats_params(jax.random.PRNGKey(0), cfg),
+                   config=cfg, embed_dim=32)
+    x = jnp.asarray(RNG.standard_normal((2, 2, 48000)).astype(np.float32) * 0.3)
+    e = get_beats_embeds(x, m, 48000)
+    assert e["mono"].shape == (2, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(e["mono"]), axis=-1), 1.0, atol=1e-4)
+    with pytest.raises(FileNotFoundError):
+        load_beats_model()
