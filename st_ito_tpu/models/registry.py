@@ -289,6 +289,62 @@ def get_clap_embeds(
     return out
 
 
+# ------------- wav2vec2 / wav2clip / vggish (reference: utils.py:279-383) --
+
+
+@dataclasses.dataclass
+class Wav2Vec2Handle:
+    model: Any
+    embed_dim: int = 768
+
+
+def load_wav2vec2_model(use_gpu: bool = False,
+                        model_id: str = "facebook/wav2vec2-base") -> Wav2Vec2Handle:
+    """Gated transformers Wav2Vec2 (torch, host-side eval baseline,
+    reference: st_ito/utils.py:279-314)."""
+    try:
+        from transformers import Wav2Vec2Model
+
+        model = Wav2Vec2Model.from_pretrained(model_id)
+    except (OSError, ImportError) as e:
+        raise FileNotFoundError(
+            f"wav2vec2 weights for {model_id} not in the local HF cache "
+            f"(offline environment). Original error: {e}") from e
+    model.eval()
+    return Wav2Vec2Handle(model=model)
+
+
+def get_wav2vec2_embeds(x: jnp.ndarray, model: Wav2Vec2Handle,
+                        sample_rate: float, **kwargs) -> dict:
+    """Resample to 16 kHz, mono, mean-pool hidden states, L2
+    (reference: st_ito/utils.py:279-314)."""
+    import torch
+
+    if sample_rate != 16000:
+        x = resample(x, int(sample_rate), 16000)
+    mono = np.asarray(jnp.mean(x, axis=1), np.float32)
+    with torch.no_grad():
+        out = model.model(torch.from_numpy(mono)).last_hidden_state
+        feats = torch.nn.functional.normalize(out.mean(dim=1), p=2, dim=-1)
+    return {"mono": jnp.asarray(feats.numpy())}
+
+
+def load_wav2clip_model(use_gpu: bool = False):
+    """(reference: st_ito/utils.py:320-347) — requires the wav2clip package,
+    not present in this environment."""
+    raise ImportError(
+        "wav2clip is not installed in this environment; install wav2clip and "
+        "its checkpoint to enable this eval-only baseline metric.")
+
+
+def load_vggish_model(use_gpu: bool = False):
+    """(reference: st_ito/utils.py:353-383) — requires torch.hub VGGish
+    weights, unavailable offline."""
+    raise ImportError(
+        "VGGish weights require torch.hub network access; unavailable in "
+        "this environment.")
+
+
 # ---------------- MFCC feature metric (reference: utils.py:100-159) --------
 
 
