@@ -42,6 +42,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from st_ito_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from st_ito_tpu.chain import basic_chain, build_render_fn
     from st_ito_tpu.ito import make_fitness_fn
     from st_ito_tpu.models.registry import get_param_embeds, load_param_model

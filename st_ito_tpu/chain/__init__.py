@@ -10,7 +10,9 @@ from st_ito_tpu.chain.params import ParamSpec, StageSpec, ChainSpec
 from st_ito_tpu.chain.effects import (
     EFFECT_REGISTRY,
     basic_chain,
+    chain_from_json,
     chain_preset,
+    basic_multiband_compressor,
     basic_parametric_eq,
     basic_compressor,
     basic_distortion,
@@ -31,7 +33,9 @@ __all__ = [
     "ChainSpec",
     "EFFECT_REGISTRY",
     "basic_chain",
+    "chain_from_json",
     "chain_preset",
+    "basic_multiband_compressor",
     "basic_parametric_eq",
     "basic_compressor",
     "basic_distortion",

@@ -246,6 +246,64 @@ def basic_phaser(fixed: Mapping[str, float] | None = None) -> StageSpec:
                      batched_fn=_resp.phaser_batched)
 
 
+def basic_multiband_compressor(fixed: Mapping[str, float] | None = None) -> StageSpec:
+    """3-band compressor with LR4 crossovers (the reference style chain's
+    ZaMultiCompX2 role, reference: vst-chains/eq+multiband-comp+limiter.json)."""
+    from st_ito_tpu.ops.multiband import multiband_compressor
+
+    P = ParamSpec
+    params = (
+        P("xover_low_hz", 40.0, 1000.0, 250.0),
+        P("xover_high_hz", 1000.0, 12000.0, 4000.0),
+        P("low_threshold_db", -60.0, 0.0, -24.0),
+        P("low_ratio", 1.0, 20.0, 4.0),
+        P("low_makeup_db", -12.0, 12.0, 0.0),
+        P("mid_threshold_db", -60.0, 0.0, -24.0),
+        P("mid_ratio", 1.0, 20.0, 4.0),
+        P("mid_makeup_db", -12.0, 12.0, 0.0),
+        P("high_threshold_db", -60.0, 0.0, -24.0),
+        P("high_ratio", 1.0, 20.0, 4.0),
+        P("high_makeup_db", -12.0, 12.0, 0.0),
+        P("attack_ms", 0.1, 100.0, 10.0),
+        P("release_ms", 10.0, 1000.0, 150.0),
+    )
+
+    def process(x, p, sr):
+        return multiband_compressor(
+            x, sr, xover_low=p["xover_low_hz"], xover_high=p["xover_high_hz"],
+            thresholds_db=(p["low_threshold_db"], p["mid_threshold_db"],
+                           p["high_threshold_db"]),
+            ratios=(p["low_ratio"], p["mid_ratio"], p["high_ratio"]),
+            makeup_db=(p["low_makeup_db"], p["mid_makeup_db"],
+                       p["high_makeup_db"]),
+            attack_ms=p["attack_ms"], release_ms=p["release_ms"],
+        )
+
+    def batched(x, p, sr, fast):
+        def col(v):
+            return jnp.asarray(v)[..., None, None]
+
+        # crossover freqs shaped (B, 1): the LR4 response broadcasts as
+        # (B, 1, F) against the (B, C, F) spectrum
+        return multiband_compressor(
+            x, sr, xover_low=jnp.asarray(p["xover_low_hz"])[..., None],
+            xover_high=jnp.asarray(p["xover_high_hz"])[..., None],
+            thresholds_db=(col(p["low_threshold_db"]),
+                           col(p["mid_threshold_db"]),
+                           col(p["high_threshold_db"])),
+            ratios=(col(p["low_ratio"]), col(p["mid_ratio"]),
+                    col(p["high_ratio"])),
+            makeup_db=(col(p["low_makeup_db"]), col(p["mid_makeup_db"]),
+                       col(p["high_makeup_db"])),
+            attack_ms=col(p["attack_ms"]), release_ms=col(p["release_ms"]),
+            fast=fast,
+        )
+
+    return StageSpec("MultibandCompressor", "multiband_compressor", params,
+                     process, num_channels=2, fixed_parameters=fixed or {},
+                     batched_fn=batched)
+
+
 EFFECT_REGISTRY = {
     "parametric_eq": basic_parametric_eq,
     "compressor": basic_compressor,
@@ -258,7 +316,53 @@ EFFECT_REGISTRY = {
     "gain": basic_gain,
     "stereo_widener": basic_stereo_widener,
     "phaser": basic_phaser,
+    "multiband_compressor": basic_multiband_compressor,
 }
+
+
+def chain_from_json(path: str, with_bypass: bool = True) -> ChainSpec:
+    """Declarative chain from a JSON spec, mirroring the reference's
+    vst-chains format (reference: vst-chains/eq+multiband-comp+limiter.json,
+    run_optim.py:344-407): {stage_name: {"effect"|"class_path": ...,
+    "fixed_parameters": {...}}}. VST class names map to their native
+    equivalents.
+    """
+    import json
+
+    vst_map = {
+        "BasicParametricEQ": "parametric_eq", "BasicCompressor": "compressor",
+        "BasicDistortion": "distortion", "BasicDelay": "delay",
+        "BasicReverb": "reverb", "BasicChorus": "chorus",
+        "ZamEQ2": "parametric_eq", "ZamDelay": "delay",
+        "FlyingDelay": "delay", "TAL-Reverb-4": "reverb",
+        "DragonflyPlateReverb": "reverb", "ZaMultiCompX2": "multiband_compressor",
+        "ZamCompX2": "compressor", "ZaMaximX2": "limiter",
+        "TubeScreamer": "distortion", "STR-X": "distortion",
+        "RoughRider3": "compressor",
+    }
+    with open(path) as f:
+        spec = json.load(f)
+    stages = []
+    for name, entry in spec.items():
+        effect = entry.get("effect")
+        if effect is None:
+            cp = entry.get("class_path", entry.get("vst_filepath", ""))
+            base = cp.rsplit("/", 1)[-1].replace(".vst3", "").rsplit(".", 1)[-1]
+            effect = vst_map.get(base)
+        if effect is None or effect not in EFFECT_REGISTRY:
+            raise ValueError(f"cannot map chain stage {name!r} ({entry}) to a "
+                             f"native effect")
+        stage = EFFECT_REGISTRY[effect](fixed=entry.get("fixed_parameters"))
+        stage = StageSpec(
+            name=name, effect=stage.effect, params=stage.params,
+            process_fn=stage.process_fn,
+            num_channels=entry.get("num_channels", stage.num_channels),
+            fixed_parameters=stage.fixed_parameters,
+            response_fn=stage.response_fn, batched_fn=stage.batched_fn,
+            pad=stage.pad, fast_batched_fn=stage.fast_batched_fn,
+        )
+        stages.append(stage)
+    return ChainSpec(stages=tuple(stages), with_bypass=with_bypass)
 
 
 def basic_chain(with_bypass: bool = True) -> ChainSpec:

@@ -111,6 +111,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from st_ito_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from st_ito_tpu.ito import run_autodiff, run_es, run_staged_es
     from st_ito_tpu.ops.resample import resample
     from st_ito_tpu.utils import load_audio, save_audio

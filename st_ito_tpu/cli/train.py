@@ -361,6 +361,10 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args(argv)
 
+    from st_ito_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     cfg = load_config(args.config)
     task = cfg.get("task", "pretext")
     if task == "pretext":
