@@ -55,10 +55,21 @@ def _encoder_config(d: dict, encoder_type: str = "cnn14"):
 
 
 def _build_chain(spec):
-    from st_ito_tpu.chain import EFFECT_REGISTRY, ChainSpec, basic_chain
+    from st_ito_tpu.chain import (
+        EFFECT_REGISTRY,
+        ChainSpec,
+        basic_chain,
+        chain_from_json,
+        chain_preset,
+    )
 
     if spec in (None, "basic"):
         return basic_chain(with_bypass=False)
+    if isinstance(spec, str) and spec.endswith(".json"):
+        # the reference's vst_json chain spec (methods/style.py:545)
+        return chain_from_json(spec, with_bypass=False)
+    if isinstance(spec, str):
+        return chain_preset(spec, with_bypass=False)
     if isinstance(spec, list):
         return ChainSpec(
             stages=tuple(EFFECT_REGISTRY[name]() for name in spec),

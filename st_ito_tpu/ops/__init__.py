@@ -64,6 +64,7 @@ from st_ito_tpu.ops.loudness import (
     k_weight,
     loudness_normalize,
 )
+from st_ito_tpu.ops.multiband import multiband_compressor, split_bands
 from st_ito_tpu.ops.resample import resample
 from st_ito_tpu.ops.stft import (
     frame_signal,
@@ -97,6 +98,8 @@ __all__ = [
     "swap_channels", "to_mid_side",
     # loudness
     "integrated_loudness", "k_weight", "loudness_normalize",
+    # multiband
+    "multiband_compressor", "split_bands",
     # resample
     "resample",
     # stft

@@ -176,3 +176,22 @@ def test_run_rule_based_matches_spectrum():
     tilt_in = X[hi].sum() / X[lo].sum()
     tilt_out = Z[hi].sum() / Z[lo].sum()
     assert tilt_out > tilt_in * 1.5  # matched EQ brightened the input
+
+
+def test_run_staged_es(mfcc_setup):
+    """Per-stage CMA-ES with earlier stages frozen at their optimum
+    (reference: scripts/run_optim.py:39-234)."""
+    from st_ito_tpu.ito import run_staged_es
+
+    model, embed_func = mfcc_setup
+    chain = _small_chain()
+    x = _test_signal()
+    render = build_render_fn(chain, SR, 1)
+    w_target = jnp.asarray(RNG.uniform(0.3, 0.7, chain.num_params).astype(np.float32))
+    y_target = render(w_target, x[0])[None]
+    result = run_staged_es(x, y_target, SR, chain, model,
+                           embed_func=embed_func, max_iters=3, popsize=8,
+                           sigma0=0.3, seed=0, verbose=False)
+    assert result["output_audio"].shape[1:] == y_target.shape[1:]
+    assert len(result["fval_history"]) == 3 * len(chain.stages)
+    assert np.isfinite(result["fopt"])
