@@ -121,6 +121,47 @@ def evaluate_metric_on_quadruplets(
     }
 
 
+def save_quadruplets_to_disk(examples: list[dict], out_dir: str,
+                             sample_rate: int = 48000) -> None:
+    """Write quadruplets as per-example directories of ref/a/b/c... wavs —
+    the reference's on-disk PSM format (reference: eval_psm.py:87-154 reads
+    such directories)."""
+    from st_ito_tpu.utils import save_audio
+
+    for i, ex in enumerate(examples):
+        ex_dir = os.path.join(out_dir, f"{ex.get('effect', 'ex')}_{i:04d}")
+        os.makedirs(ex_dir, exist_ok=True)
+        save_audio(os.path.join(ex_dir, "ref.wav"), ex["ref"], sample_rate)
+        for ci, cand in enumerate(ex["candidates"]):
+            name = chr(ord("a") + ci)
+            save_audio(os.path.join(ex_dir, f"{name}.wav"), cand, sample_rate)
+
+
+def load_quadruplets_from_disk(root_dir: str) -> list[dict]:
+    """Read per-example directories of ref.wav + a/b/c... candidate wavs
+    ('a' is the true match, like the reference's layout)."""
+    import glob
+
+    from st_ito_tpu.utils import load_audio
+
+    examples = []
+    for ex_dir in sorted(glob.glob(os.path.join(root_dir, "*"))):
+        ref_path = os.path.join(ex_dir, "ref.wav")
+        if not os.path.isfile(ref_path):
+            continue
+        ref, _ = load_audio(ref_path)
+        candidates = []
+        for cand_path in sorted(glob.glob(os.path.join(ex_dir, "[a-z].wav"))):
+            audio, _ = load_audio(cand_path)
+            candidates.append(audio)
+        if candidates:
+            examples.append({
+                "ref": ref, "candidates": candidates,
+                "effect": os.path.basename(ex_dir).rsplit("_", 1)[0],
+            })
+    return examples
+
+
 def run_psm_benchmark(
     audio_sources,
     metrics: dict,

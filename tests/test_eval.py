@@ -117,3 +117,22 @@ def test_parameter_recovery(mfcc):
     res = parameter_recovery_curve(x, "distortion", "drive_db", 0.75,
                                    model, embed, SR, num_steps=11)
     assert res["recovery_error"] <= 0.2  # metric curve peaks near the truth
+
+
+def test_psm_disk_roundtrip(tmp_path, mfcc):
+    from st_ito_tpu.eval.psm import (
+        load_quadruplets_from_disk,
+        save_quadruplets_to_disk,
+    )
+
+    model, embed = mfcc
+    examples = generate_psm_quadruplets(
+        _sources(2, 65536), effect_names=["distortion"], num_examples=2,
+        num_distractors=2, length=16384, seed=1)
+    save_quadruplets_to_disk(examples, str(tmp_path), SR)
+    loaded = load_quadruplets_from_disk(str(tmp_path))
+    assert len(loaded) == 2
+    assert loaded[0]["ref"].shape[0] == 2
+    assert len(loaded[0]["candidates"]) == 3
+    res = evaluate_metric_on_quadruplets(loaded, model, embed, SR)
+    assert res["num_examples"] == 2
