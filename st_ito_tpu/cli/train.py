@@ -214,7 +214,7 @@ def train_pretext(cfg: dict, args) -> None:
                 break
             vbatch = {k: jnp.asarray(v) for k, v in vbatch.items()}
             rng, sub = jax.random.split(rng)
-            loss, (vmetrics, feats) = eval_loss(state.params, vbatch, sub)
+            loss, (vmetrics, feats, _) = eval_loss(state.params, vbatch, sub)
             losses.append(float(loss))
             from st_ito_tpu.train.param import _mlp
 

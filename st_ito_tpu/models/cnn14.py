@@ -102,23 +102,34 @@ def _conv3x3(x, w):
     )
 
 
+_BN_MOMENTUM = 0.1  # torch BatchNorm default
+
+
 def _batchnorm(x, bn, training: bool, axis: int = 1, eps: float = 1e-5):
     """Eval-mode BN uses running stats; train-mode uses batch stats and
-    returns updated running stats via the caller."""
+    returns the torch-convention running-stat update
+    (running = (1-m)*running + m*batch, unbiased batch variance)."""
     shape = [1] * x.ndim
     shape[axis] = x.shape[axis]
     if training:
         axes = tuple(i for i in range(x.ndim) if i != axis)
         mean = jnp.mean(x, axis=axes)
         var = jnp.var(x, axis=axes)
+        n = x.size // x.shape[axis]
+        var_unbiased = var * (n / max(n - 1, 1))
+        new_stats = {
+            "running_mean": (1 - _BN_MOMENTUM) * bn["running_mean"]
+            + _BN_MOMENTUM * mean,
+            "running_var": (1 - _BN_MOMENTUM) * bn["running_var"]
+            + _BN_MOMENTUM * var_unbiased,
+        }
     else:
         mean = bn["running_mean"]
         var = bn["running_var"]
+        new_stats = None
     y = (x - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape) + eps)
     y = y * bn["weight"].reshape(shape) + bn["bias"].reshape(shape)
-    if training:
-        return y, (mean, var)
-    return y, None
+    return y, new_stats
 
 
 def _avg_pool_2x2(x):
@@ -128,14 +139,18 @@ def _avg_pool_2x2(x):
 
 
 def _conv_block(x, block, training, dropout_rng, use_batchnorm, pool,
-                compute_dtype=jnp.float32):
+                compute_dtype=jnp.float32, stats_out: dict | None = None):
     h = _conv3x3(x.astype(compute_dtype), block["conv1"]["weight"])
     if use_batchnorm:
-        h, _ = _batchnorm(h, block["bn1"], training)
+        h, s1 = _batchnorm(h, block["bn1"], training)
+        if stats_out is not None and s1 is not None:
+            stats_out["bn1"] = s1
     h = jax.nn.relu(h)
     h = _conv3x3(h.astype(compute_dtype), block["conv2"]["weight"])
     if use_batchnorm:
-        h, _ = _batchnorm(h, block["bn2"], training)
+        h, s2 = _batchnorm(h, block["bn2"], training)
+        if stats_out is not None and s2 is not None:
+            stats_out["bn2"] = s2
     h = jax.nn.relu(h)
     if pool:
         h = _avg_pool_2x2(h)
@@ -191,9 +206,13 @@ def cnn14_apply(
     config: Cnn14Config,
     training: bool = False,
     rng: jax.Array | None = None,
+    return_stats: bool = False,
 ):
     """Forward pass. x: (batch, chs, T) with chs in {1, 2}.
-    Returns (mid_embed, side_embed), each (batch, embed_dim).
+    Returns (mid_embed, side_embed), each (batch, embed_dim); with
+    return_stats=True in training mode, also a pytree of updated BatchNorm
+    running statistics to merge into the params (pure-functional stand-in
+    for torch's in-place running-stat updates).
     """
     batch, chs, seq_len = x.shape
 
@@ -228,13 +247,18 @@ def cnn14_apply(
         h = _spec_augment(h, aug_rng)
 
     compute_dtype = jnp.dtype(config.compute_dtype)
+    stats_updates: dict = {}
     for i in range(6):
         pool = i < 5  # block6 uses pool_size (1,1) (panns.py:260)
         drop_rng = None
         if training and rng is not None:
             rng, drop_rng = jax.random.split(rng)
+        block_stats: dict = {} if (return_stats and training) else None
         h = _conv_block(h, params[f"conv_block{i + 1}"], training, drop_rng,
-                        config.use_batchnorm, pool, compute_dtype)
+                        config.use_batchnorm, pool, compute_dtype,
+                        stats_out=block_stats)
+        if block_stats:
+            stats_updates[f"conv_block{i + 1}"] = block_stats
 
     h = jnp.mean(h, axis=3)  # mean over mel
     h = jnp.max(h, axis=2) + jnp.mean(h, axis=2)  # (N, 2048)
@@ -250,4 +274,6 @@ def cnn14_apply(
     else:
         mid = linear(params["fc_mid"], h[:, 0, :])
         side = linear(params["fc_side"], h[:, 1, :])
+    if return_stats:
+        return mid, side, stats_updates
     return mid, side

@@ -73,20 +73,27 @@ def _encoder_init(key, cfg: "ParamEstimatorConfig"):
     raise ValueError(f"unknown encoder_type: {cfg.encoder_type}")
 
 
-def _encoder_apply(params, x, cfg: "ParamEstimatorConfig", training, rng):
+def _encoder_apply(params, x, cfg: "ParamEstimatorConfig", training, rng,
+                   return_stats: bool = False):
     if cfg.encoder_type == "cnn14":
-        return cnn14_apply(params, x, cfg.encoder, training=training, rng=rng)
+        if return_stats and training:
+            return cnn14_apply(params, x, cfg.encoder, training=True,
+                               rng=rng, return_stats=True)
+        out = cnn14_apply(params, x, cfg.encoder, training=training, rng=rng)
+        return (*out, {}) if return_stats else out
     if cfg.encoder_type == "dstcn":
         from st_ito_tpu.models.encoders import dstcn_apply
 
-        return dstcn_apply(params, x, cfg.encoder, training=training, rng=rng)
-    if cfg.encoder_type == "gcn":
+        out = dstcn_apply(params, x, cfg.encoder, training=training, rng=rng)
+    elif cfg.encoder_type == "gcn":
         from st_ito_tpu.models.gcn import deepgcn_apply
 
-        return deepgcn_apply(params, x, cfg.encoder, training=training, rng=rng)
-    from st_ito_tpu.models.htsat import htsat_apply
+        out = deepgcn_apply(params, x, cfg.encoder, training=training, rng=rng)
+    else:
+        from st_ito_tpu.models.htsat import htsat_apply
 
-    return htsat_apply(params, x, cfg.encoder, training=training, rng=rng)
+        out = htsat_apply(params, x, cfg.encoder, training=training, rng=rng)
+    return (*out, {}) if return_stats else out
 
 
 @chex.dataclass
@@ -153,11 +160,15 @@ def init_param_estimator(key, cfg: ParamEstimatorConfig) -> ParamTrainState:
 
 def _compute_feats(params, cfg: ParamEstimatorConfig, inputs, outputs,
                    training, rng):
+    """Returns (feats, bn_stats_updates). BN running stats are taken from
+    the outputs-forward (the torch reference updates them on every forward;
+    one representative update per step is sufficient and keeps the program
+    functional)."""
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
-    out_mid, out_side = _encoder_apply(params["encoder"], outputs, cfg,
-                                       training, r1)
+    out_mid, out_side, bn_stats = _encoder_apply(
+        params["encoder"], outputs, cfg, training, r1, return_stats=True)
     if cfg.norm == "L2":
         out_mid = out_mid / jnp.maximum(
             jnp.linalg.norm(out_mid, axis=-1, keepdims=True), 1e-12)
@@ -165,7 +176,7 @@ def _compute_feats(params, cfg: ParamEstimatorConfig, inputs, outputs,
             jnp.linalg.norm(out_side, axis=-1, keepdims=True), 1e-12)
 
     if cfg.embed_mode == "blind":
-        return jnp.concatenate([out_mid, out_side], axis=-1)
+        return jnp.concatenate([out_mid, out_side], axis=-1), bn_stats
 
     in_mid, in_side = _encoder_apply(params["encoder"], inputs, cfg,
                                      training, r2)
@@ -176,16 +187,18 @@ def _compute_feats(params, cfg: ParamEstimatorConfig, inputs, outputs,
             jnp.linalg.norm(in_side, axis=-1, keepdims=True), 1e-12)
 
     if cfg.embed_mode == "diff":
-        return jnp.concatenate([in_mid - out_mid, in_side - out_side], axis=-1)
+        return (jnp.concatenate([in_mid - out_mid, in_side - out_side],
+                                axis=-1), bn_stats)
     # concat (deployed AFx-Rep config)
-    return jnp.concatenate([in_mid, out_mid, in_side, out_side], axis=-1)
+    return (jnp.concatenate([in_mid, out_mid, in_side, out_side], axis=-1),
+            bn_stats)
 
 
 def param_estimator_loss(params, cfg: ParamEstimatorConfig, batch,
                          training: bool, rng):
-    """Returns (loss, (metrics, feats))."""
-    feats = _compute_feats(params, cfg, batch["inputs"], batch["outputs"],
-                           training, rng)
+    """Returns (loss, (metrics, feats, bn_stats))."""
+    feats, bn_stats = _compute_feats(params, cfg, batch["inputs"],
+                                     batch["outputs"], training, rng)
     instance_logits = _mlp(params["instance_estimator"], feats)
     instance_loss = optax.softmax_cross_entropy_with_integer_labels(
         instance_logits, batch["instance_index"]).mean()
@@ -218,7 +231,7 @@ def param_estimator_loss(params, cfg: ParamEstimatorConfig, batch,
         metrics["adv_loss"] = adv_loss
 
     metrics["loss"] = loss
-    return loss, (metrics, feats)
+    return loss, (metrics, feats, bn_stats)
 
 
 def _train_step(state: ParamTrainState, batch, rng, cfg: ParamEstimatorConfig):
@@ -232,11 +245,24 @@ def _train_step(state: ParamTrainState, batch, rng, cfg: ParamEstimatorConfig):
         return param_estimator_loss(params, cfg, batch, True, rng)
 
     gen_params = {k: v for k, v in state.params.items() if k != "discriminator"}
-    (loss, (metrics, feats)), grads = jax.value_and_grad(
+    (loss, (metrics, feats, bn_stats)), grads = jax.value_and_grad(
         gen_loss, has_aux=True)(gen_params)
     updates, opt_state = gen_opt.update(grads, state.opt_state, gen_params)
     gen_params = optax.apply_updates(gen_params, updates)
     new_params = dict(gen_params)
+
+    # merge BatchNorm running-stat updates (non-gradient state, like torch's
+    # in-place running_mean/var updates during training)
+    if bn_stats:
+        enc = dict(new_params["encoder"])
+        for block_name, blocks in bn_stats.items():
+            blk = dict(enc[block_name])
+            for bn_name, stats in blocks.items():
+                bn = dict(blk[bn_name])
+                bn.update(jax.lax.stop_gradient(stats))
+                blk[bn_name] = bn
+            enc[block_name] = blk
+        new_params["encoder"] = enc
 
     d_opt_state = state.d_opt_state
     if cfg.num_adv_classes > 0:

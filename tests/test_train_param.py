@@ -91,3 +91,18 @@ def test_blind_and_diff_modes():
         step = make_param_train_step(cfg)
         state, metrics = step(state, _toy_batch(bs=4), jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_bn_running_stats_updated():
+    """Training must update encoder BatchNorm running statistics (the torch
+    reference does this in-place; the functional port merges updates into
+    the param tree each step)."""
+    cfg = _small_cfg()
+    state = init_param_estimator(jax.random.PRNGKey(0), cfg)
+    rm0 = np.asarray(state.params["encoder"]["conv_block1"]["bn1"]["running_mean"])
+    step = make_param_train_step(cfg)
+    state, _ = step(state, _toy_batch(bs=4), jax.random.PRNGKey(0))
+    rm1 = np.asarray(state.params["encoder"]["conv_block1"]["bn1"]["running_mean"])
+    assert not np.allclose(rm0, rm1)
+    rv1 = np.asarray(state.params["encoder"]["conv_block1"]["bn1"]["running_var"])
+    assert np.isfinite(rv1).all() and (rv1 > 0).all()
