@@ -173,8 +173,15 @@ class StyleTransferSystem:
         r1 = r2 = None
         if rng is not None:
             r1, r2 = jax.random.split(rng)
-        in_mid, in_side = cnn14_apply(params["encoder"], center_crop(input_audio),
-                                      cfg.encoder, training=training, rng=r1)
+        bn_stats = {}
+        if training:
+            in_mid, in_side, bn_stats = cnn14_apply(
+                params["encoder"], center_crop(input_audio), cfg.encoder,
+                training=True, rng=r1, return_stats=True)
+        else:
+            in_mid, in_side = cnn14_apply(
+                params["encoder"], center_crop(input_audio), cfg.encoder,
+                training=False, rng=r1)
         tg_mid, tg_side = cnn14_apply(params["encoder"], center_crop(target_audio),
                                       cfg.encoder, training=training, rng=r2)
         feats = jnp.concatenate([in_mid, in_side, tg_mid, tg_side], axis=-1)
@@ -182,17 +189,17 @@ class StyleTransferSystem:
         if cfg.loss_type == "parameter-classification":
             logits = classifier_apply(params["estimator"], feats)
             w = classifier_logits_to_params(logits, cfg.num_bins)
-            return w, logits
+            return w, logits, bn_stats
         w = regressor_apply(params["estimator"], feats)
-        return w, None
+        return w, None, bn_stats
 
     def render(self, audio, w):
         return self._proc(audio, w, self.cfg.sample_rate)
 
     def forward(self, params, input_audio, target_audio, render_audio=True,
                 training=False, rng=None):
-        w, logits = self.predict_params(params, input_audio, target_audio,
-                                        training, rng)
+        w, logits, _ = self.predict_params(params, input_audio, target_audio,
+                                           training, rng)
         if render_audio:
             output_audio = self.render(input_audio, w)
         else:
@@ -245,10 +252,13 @@ class StyleTransferSystem:
             target_B = target_audio
 
         render_audio = cfg.loss_type == "audio" or not training
-        output_A, w, logits = self.forward(
-            params, input_A, target_B, render_audio=render_audio,
-            training=training, rng=r_model if training else None,
-        )
+        w, logits, bn_stats = self.predict_params(
+            params, input_A, target_B, training,
+            r_model if training else None)
+        if render_audio:
+            output_A = self.render(input_A, w)
+        else:
+            output_A = jnp.zeros_like(input_A)
 
         metrics = {}
         loss = 0.0
@@ -272,17 +282,29 @@ class StyleTransferSystem:
             metrics["audio_loss"] = multi_resolution_stft_loss(output_A, target_A)
 
         metrics["loss"] = loss
-        aux = {"output_audio": output_A, "params_pred": w}
+        aux = {"output_audio": output_A, "params_pred": w,
+               "bn_stats": bn_stats}
         return loss, (metrics, aux)
 
     def make_train_step(self, mesh: Mesh | None = None) -> Callable:
         opt = self.optimizer
 
         def step(state: StyleTrainState, batch, rng):
-            (loss, (metrics, _)), grads = jax.value_and_grad(
+            (loss, (metrics, aux)), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True)(state.params, batch, rng, True)
             updates, opt_state = opt.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            bn_stats = aux.get("bn_stats") or {}
+            if bn_stats:
+                enc = dict(new_params["encoder"])
+                for block_name, blocks in bn_stats.items():
+                    blk = dict(enc[block_name])
+                    for bn_name, stats in blocks.items():
+                        bn = dict(blk[bn_name])
+                        bn.update(jax.lax.stop_gradient(stats))
+                        blk[bn_name] = bn
+                    enc[block_name] = blk
+                new_params["encoder"] = enc
             return StyleTrainState(params=new_params, opt_state=opt_state,
                                    step=state.step + 1), metrics
 

@@ -121,3 +121,14 @@ def test_style_eval_step_renders_audio_loss():
                                      jax.random.PRNGKey(0))
     assert "audio_loss" in metrics
     assert aux["output_audio"].shape[0] == 2
+
+
+def test_style_bn_running_stats_updated():
+    cfg = _cfg(loss_type="parameter-regression")
+    system = StyleTransferSystem(cfg, chain=_chain())
+    state = system.init(jax.random.PRNGKey(0))
+    rm0 = np.asarray(state.params["encoder"]["conv_block1"]["bn1"]["running_mean"])
+    step = system.make_train_step()
+    state, _ = step(state, _batch(system), jax.random.PRNGKey(0))
+    rm1 = np.asarray(state.params["encoder"]["conv_block1"]["bn1"]["running_mean"])
+    assert not np.allclose(rm0, rm1)
