@@ -50,6 +50,8 @@ class StyleTransferConfig:
     split_section: bool = False
     num_bins: int = 64
     sample_rate: int = 48000
+    total_steps: int = 0  # > 0 enables the reference's MultiStepLR schedule
+    # (x0.1 at 80% and 95% of training, reference: style.py:643-660)
 
     @property
     def head_input_dim(self) -> int:
@@ -153,7 +155,13 @@ class StyleTransferSystem:
     @property
     def optimizer(self) -> optax.GradientTransformation:
         cfg = self.cfg
-        # MultiStepLR at 80%/95% of max_epochs handled by caller via epoch
+        if cfg.total_steps > 0:
+            schedule = optax.piecewise_constant_schedule(
+                cfg.lr,
+                {int(cfg.total_steps * 0.8): 0.1,
+                 int(cfg.total_steps * 0.95): 0.1},
+            )
+            return optax.adamw(schedule, weight_decay=cfg.weight_decay)
         return optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
 
     # -- model --------------------------------------------------------------
