@@ -15,7 +15,6 @@ reference's transform inventory (reference: st_ito/effects.py:368-1533).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Sequence
 
 import jax

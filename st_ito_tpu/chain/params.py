@@ -10,7 +10,7 @@ per stage and fixed-parameter pinning
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Mapping, Sequence
+from typing import Callable, Mapping
 
 import jax.numpy as jnp
 

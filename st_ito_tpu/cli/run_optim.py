@@ -26,7 +26,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -55,8 +54,6 @@ def synthetic_target_params(chain) -> np.ndarray:
     """Stylized target parameters (bass cut, bright shelf, compression,
     moderate reverb) — the recoverable self-test target
     (reference: run_optim.py:456-507)."""
-    from st_ito_tpu.chain import parameters_to_dict  # noqa: F401
-
     rng = np.random.default_rng(1234)
     w = np.full(chain.num_params, 0.5)
     for stage, start, end in chain.stage_slices():

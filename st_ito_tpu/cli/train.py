@@ -18,7 +18,6 @@ Subsystems the reference got from Lightning, provided natively:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time
@@ -143,7 +142,6 @@ def train_pretext(cfg: dict, args) -> None:
     import jax.numpy as jnp
 
     from st_ito_tpu.data import NpzShardDataset, prefetch_batches
-    from st_ito_tpu.models.cnn14 import cnn14_apply
     from st_ito_tpu.train import (
         ParamEstimatorConfig,
         init_param_estimator,

@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from st_ito_tpu.eval.metrics import style_similarity
 from st_ito_tpu.ops.eq import parametric_eq
 from st_ito_tpu.ops.dynamics import compressor
 from st_ito_tpu.ops.iir import apply_iir_fsm, biquad_coeffs

@@ -7,8 +7,6 @@ the eval harness. All batched jnp, jit/vmap safe.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Callable
 
 import numpy as np

@@ -10,7 +10,6 @@ is what cnn14_apply expects.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import numpy as np
 

@@ -15,7 +15,6 @@ Simplifications (documented): attention drop / stochastic depth omitted
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

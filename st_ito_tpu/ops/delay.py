@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import math
 
-import jax
 import jax.numpy as jnp
 
 from st_ito_tpu.ops.iir import linear_recurrence, next_pow2

@@ -15,8 +15,6 @@ bit-equivalent to the serial reference (tests/test_dynamics.py).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

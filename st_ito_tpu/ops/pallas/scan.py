@@ -15,8 +15,6 @@ VMEM scratch that persists across the sequential T-block iterations
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,6 @@ implementation.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
 import jax.numpy as jnp

@@ -11,15 +11,12 @@ reverb) instead of dasp-pytorch.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 from st_ito_tpu.ops import dynamics as _dyn
 from st_ito_tpu.ops import eq as _eq
 from st_ito_tpu.ops import reverb as _rev
-from st_ito_tpu.ops import waveshape as _ws
 
 NUM_GAIN_PARAMS = 1
 NUM_DISTORTION_PARAMS = 1
