@@ -49,6 +49,10 @@ def _embedding_distance(output_embeds, target_embeds, content_scale=None):
     return jnp.stack(dists, axis=0)
 
 
+# Compiled-program caches. Keys include id(obj) for the unhashable
+# chain/model objects; the cache VALUE pins a strong reference to every
+# id()-keyed object so a garbage-collected chain can never alias a new
+# allocation at the same address (stale-program hazard).
 _FITNESS_CACHE: dict = {}
 _RENDER_CACHE: dict = {}
 
@@ -95,7 +99,7 @@ def make_fitness_fn(
                  num_channels, embed_func, content_embed_func, dropout,
                  normalize_stages, id(mesh), return_audio)
     if cache_key in _FITNESS_CACHE:
-        return _FITNESS_CACHE[cache_key]
+        return _FITNESS_CACHE[cache_key][0]
     if normalize_stages:
         # per-stage normalization is incompatible with LTI fusion; fall back
         # to the per-candidate renderer under vmap
@@ -150,7 +154,8 @@ def make_fitness_fn(
         return jitted(model_params, content_params, W, x, target_embeds,
                       target_content_embeds, rng)
 
-    _FITNESS_CACHE[cache_key] = fitness
+    # pin refs for every id()-keyed object (see cache comment above)
+    _FITNESS_CACHE[cache_key] = (fitness, chain, model, content_model, mesh)
     return fitness
 
 
@@ -246,6 +251,14 @@ def run_es(
         content_model, content_embed_func, dropout,
         normalize_stages, mesh, return_audio=savepop,
     )
+    # Dropout is disabled on the final generation (reference:
+    # style_transfer.py:632-635); a second cached program with dropout=0
+    # serves that generation.
+    fitness_nodrop = fitness if dropout == 0.0 else make_fitness_fn(
+        chain, model, sample_rate, x_full.shape[0], embed_func,
+        content_model, content_embed_func, 0.0,
+        normalize_stages, mesh, return_audio=savepop,
+    )
 
     def eval_W(W, iteration_rng, dropout_active=True):
         if random_crop and (T - crop_len) > 16384:
@@ -253,8 +266,9 @@ def run_es(
         else:
             start = 0
         x = _crop_or_pad(x_full, jnp.asarray(start, jnp.int32), crop_len=eval_len)
-        out = fitness(jnp.asarray(W, jnp.float32), x, target_embed,
-                      target_content_embed, iteration_rng)
+        fit = fitness if dropout_active else fitness_nodrop
+        out = fit(jnp.asarray(W, jnp.float32), x, target_embed,
+                  target_content_embed, iteration_rng)
         if savepop:
             fvals, embeds, audio = out
             return np.asarray(fvals), embeds, audio
@@ -293,8 +307,13 @@ def run_es(
     for iteration in range(max_iters):
         W = es.ask()
         jrng, sub = jax.random.split(jrng)
+        # best BEFORE this generation — comparing against a best that already
+        # includes this generation makes the delta >= 0 forever and turns
+        # early stopping into a hard cap at patience+1 generations
+        prev_best = min(fval_history) if fval_history else None
         # no dropout on the final iteration (reference: :632-635)
-        fvals, embeds, audio = eval_W(W, sub)
+        fvals, embeds, audio = eval_W(
+            W, sub, dropout_active=(iteration + 1 < max_iters))
         total_evals += popsize
         es.tell(W, fvals)
         if verbose:
@@ -309,9 +328,10 @@ def run_es(
         if savepop:
             _savepop_to_disk(iteration, fvals, audio, run_dir, sample_rate)
 
-        # early stopping (reference: :654-670)
-        if iteration > 0:
-            fval_delta = float(np.min(fvals)) - min(fval_history)
+        # early stopping (reference: :654-670): improvement of this
+        # generation's best over the best of all previous generations
+        if prev_best is not None:
+            fval_delta = float(np.min(fvals)) - prev_best
         else:
             fval_delta = -0.02
         if fval_delta > early_stop_threshold:

@@ -178,6 +178,99 @@ def test_run_rule_based_matches_spectrum():
     assert tilt_out > tilt_in * 1.5  # matched EQ brightened the input
 
 
+# ---------------- early stopping + dropout schedule ----------------
+
+
+def _patch_fitness(monkeypatch, make_fvals, record=None):
+    """Replace engine.make_fitness_fn with a synthetic objective so the
+    ES control flow (early stop, dropout schedule) is tested in isolation."""
+    from st_ito_tpu.ito import engine
+
+    def fake_make_fitness_fn(*args, **kwargs):
+        dropout = args[7] if len(args) > 7 else kwargs.get("dropout", 0.0)
+
+        def fitness(W, x, target_embeds, target_content_embeds, rng):
+            if record is not None:
+                record.append(dropout)
+            return jnp.asarray(make_fvals(np.asarray(W)), jnp.float32)
+
+        return fitness
+
+    monkeypatch.setattr(engine, "make_fitness_fn", fake_make_fitness_fn)
+
+
+def _zero_embed(audio, model, sample_rate, **kwargs):
+    return {"mono": jnp.zeros((audio.shape[0], 4))}
+
+
+def test_run_es_improving_run_is_not_truncated(monkeypatch):
+    """Regression: a steadily improving run must execute ALL max_iters
+    generations (the old delta was computed against a history that already
+    contained the current generation, so every run stopped at patience+1)."""
+    calls = {"n": 0}
+
+    def improving(W):
+        calls["n"] += 1
+        return np.full(W.shape[0], -0.02 * calls["n"])
+
+    _patch_fitness(monkeypatch, improving)
+    chain = _small_chain()
+    x = _test_signal(16384)
+    result = run_es(x, x, SR, chain, None, embed_func=_zero_embed,
+                    max_iters=20, popsize=8, find_w0=False, seed=0,
+                    verbose=False)
+    assert len(result["fval_history"]) == 20
+
+
+def test_run_es_stalled_run_stops_early(monkeypatch):
+    _patch_fitness(monkeypatch, lambda W: np.ones(W.shape[0]))
+    chain = _small_chain()
+    x = _test_signal(16384)
+    result = run_es(x, x, SR, chain, None, embed_func=_zero_embed,
+                    max_iters=40, popsize=8, find_w0=False, seed=0,
+                    early_stop_patience=10, verbose=False)
+    # gen 0 seeds the counter; gens 1..11 show no improvement -> stop at 12
+    assert len(result["fval_history"]) == 12
+
+
+def test_run_es_final_iteration_disables_dropout(monkeypatch):
+    """Reference zeroes dropout on the last generation
+    (style_transfer.py:632-635)."""
+    record = []
+    calls = {"n": 0}
+
+    def improving(W):
+        calls["n"] += 1
+        return np.full(W.shape[0], -0.02 * calls["n"])
+
+    _patch_fitness(monkeypatch, improving, record=record)
+    chain = _small_chain()
+    x = _test_signal(16384)
+    run_es(x, x, SR, chain, None, embed_func=_zero_embed, dropout=0.5,
+           max_iters=3, popsize=8, find_w0=False, seed=0, verbose=False)
+    assert record == [0.5, 0.5, 0.0]
+
+
+def test_fitness_cache_pins_chain_refs(mfcc_setup):
+    """Regression: the program cache must hold strong refs to its id()-keyed
+    objects, else a GC'd chain can alias a new allocation at the same
+    address and return a stale compiled program."""
+    import gc
+    import weakref
+
+    from st_ito_tpu.ito.engine import _FITNESS_CACHE, make_fitness_fn
+
+    model, embed_func = mfcc_setup
+    chain = _small_chain()
+    fn = make_fitness_fn(chain, model, SR, 1, embed_func)
+    ref = weakref.ref(chain)
+    key = next(k for k, v in _FITNESS_CACHE.items() if v[0] is fn)
+    assert chain in _FITNESS_CACHE[key][1:]  # value pins the chain
+    del chain
+    gc.collect()
+    assert ref() is not None  # still alive -> its id cannot be reused
+
+
 def test_run_staged_es(mfcc_setup):
     """Per-stage CMA-ES with earlier stages frozen at their optimum
     (reference: scripts/run_optim.py:39-234)."""
