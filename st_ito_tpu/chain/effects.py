@@ -326,6 +326,14 @@ def chain_from_json(path: str, with_bypass: bool = True) -> ChainSpec:
     run_optim.py:344-407): {stage_name: {"effect"|"class_path": ...,
     "fixed_parameters": {...}}}. VST class names map to their native
     equivalents.
+
+    Fixed-parameter units: the reference treats fixed values as PHYSICAL
+    units for class_path (Basic*) plugins (set via Parameter.set_value) and
+    raw [0,1] for VSTs. Here an entry may declare ``"units": "raw"`` or
+    ``"units": "physical"`` explicitly; without it, values inside [0,1] are
+    taken as raw and values outside are converted from physical units using
+    the parameter's range (a physical value that happens to fall in [0,1],
+    e.g. ``ratio: 1.0``, therefore needs an explicit ``units`` field).
     """
     import json
 
@@ -352,7 +360,28 @@ def chain_from_json(path: str, with_bypass: bool = True) -> ChainSpec:
         if effect is None or effect not in EFFECT_REGISTRY:
             raise ValueError(f"cannot map chain stage {name!r} ({entry}) to a "
                              f"native effect")
-        stage = EFFECT_REGISTRY[effect](fixed=entry.get("fixed_parameters"))
+        fixed = entry.get("fixed_parameters")
+        if fixed:
+            specs = {p.name: p for p in EFFECT_REGISTRY[effect]().params}
+            units = entry.get("units")
+            converted = {}
+            for pname, value in fixed.items():
+                if pname not in specs:
+                    raise ValueError(
+                        f"stage {name!r}: unknown fixed parameter {pname!r}; "
+                        f"available: {sorted(specs)}")
+                spec = specs[pname]
+                physical = (units == "physical" if units is not None
+                            else not (0.0 <= value <= 1.0))
+                raw = float(spec.normalize(value)) if physical else float(value)
+                if not (0.0 <= raw <= 1.0):
+                    raise ValueError(
+                        f"stage {name!r}: fixed {pname}={value} maps to raw "
+                        f"{raw:.3f} outside [0,1] (range "
+                        f"[{spec.min_value}, {spec.max_value}])")
+                converted[pname] = raw
+            fixed = converted
+        stage = EFFECT_REGISTRY[effect](fixed=fixed)
         stage = StageSpec(
             name=name, effect=stage.effect, params=stage.params,
             process_fn=stage.process_fn,

@@ -115,9 +115,12 @@ def apply_parametric_eq(audio: jnp.ndarray, params: jnp.ndarray, sample_rate: in
 
 
 def apply_parametric_eq_15(audio: jnp.ndarray, params: jnp.ndarray, sample_rate: int):
-    """15-param variant (low shelf, 3 bands, high shelf) used by the simple
-    processor (reference: st_ito/methods/style.py:155-204)."""
-    return _apply_eq_sections(audio, params, sample_rate, num_bands=3)
+    """15-param variant used by the simple processor. SIX sections, like the
+    reference: low shelf, 4 peaking bands, high shelf, where params[12:15]
+    drive BOTH band3 and the high shelf
+    (reference: st_ito/methods/style.py:155-204 passes params[:, 12:15] twice)."""
+    params18 = jnp.concatenate([params, params[:, 12:15]], axis=-1)
+    return _apply_eq_sections(audio, params18, sample_rate, num_bands=4)
 
 
 def apply_simple_autodiff_processor(

@@ -113,6 +113,29 @@ def test_proc_simple_and_complex():
     assert y.shape == x.shape and bool(jnp.isfinite(y).all())
 
 
+def test_proc_eq15_band3_and_high_shelf_share_params():
+    """Reference parity: the 15-param EQ applies SIX sections — params[12:15]
+    drive both a peaking band AND the high shelf (st_ito/methods/style.py:
+    175-201 passes the 12:15 slice twice), so a +12 dB setting there boosts
+    highs by ~two sections' worth, not one."""
+    T = 32768
+    x = jnp.asarray((RNG.standard_normal((1, 1, T)) * 0.1).astype(np.float32))
+    p = np.full((1, 15), 0.5, np.float32)  # all gains 0 dB -> identity-ish
+    p[0, 12] = (12.0 + 18.0) / 36.0       # +12 dB at params[12:15]
+    p[0, 13] = (8000.0 - 20.0) / (20000.0 - 20.0)  # 8 kHz (linear range)
+    p[0, 14] = (0.7 - 0.1) / 9.9          # modest Q
+    y = proc.apply_parametric_eq_15(x, jnp.asarray(p), SR)
+
+    f = np.fft.rfftfreq(T, 1 / SR)
+    hi = (f > 7000) & (f < 9000)
+    X = np.abs(np.fft.rfft(np.asarray(x)[0, 0]))
+    Y = np.abs(np.fft.rfft(np.asarray(y)[0, 0]))
+    boost_db = 20 * np.log10(Y[hi].sum() / X[hi].sum())
+    # a single +12 dB section cannot exceed ~12.5 dB anywhere; the two
+    # stacked sections measure ~17.8 dB at the band center
+    assert boost_db > 15.0, boost_db
+
+
 def test_proc_gradients():
     x = jnp.asarray((RNG.standard_normal((1, 1, 8192)) * 0.3).astype(np.float32))
 

@@ -54,3 +54,39 @@ def test_chain_from_json(tmp_path):
     W = jnp.asarray(RNG.uniform(0.2, 0.8, (3, chain.num_params)).astype(np.float32))
     Y = rb(W, x)
     assert Y.shape == (3, 2, 16384) and bool(jnp.isfinite(Y).all())
+
+
+def test_chain_from_json_physical_fixed_values(tmp_path):
+    """Reference parity: fixed_parameters in physical units (the reference's
+    Basic*/class_path convention, Parameter.set_value) are normalized using
+    the parameter range; raw [0,1] values pass through; explicit units win."""
+    import json
+
+    spec = {
+        "Comp": {
+            "effect": "compressor",
+            "fixed_parameters": {"threshold_db": -24.0, "attack_ms": 0.5},
+        },
+        "CompRawRatio": {
+            "effect": "compressor",
+            "units": "physical",
+            "fixed_parameters": {"ratio": 1.0},  # physical 1:1, raw would be 0
+        },
+    }
+    path = tmp_path / "chain.json"
+    path.write_text(json.dumps(spec))
+    chain = chain_from_json(str(path))
+    fixed0 = chain.stages[0].fixed_parameters
+    assert abs(fixed0["threshold_db"] - (-24.0 + 80.0) / 80.0) < 1e-6
+    assert abs(fixed0["attack_ms"] - 0.5) < 1e-6  # in [0,1] -> raw passthrough
+    fixed1 = chain.stages[1].fixed_parameters
+    assert abs(fixed1["ratio"] - 0.0) < 1e-6  # physical 1.0 -> raw 0.0
+
+    bad = {"Comp": {"effect": "compressor",
+                    "fixed_parameters": {"no_such": 0.5}}}
+    path.write_text(json.dumps(bad))
+    try:
+        chain_from_json(str(path))
+        raise AssertionError("expected ValueError for unknown parameter")
+    except ValueError:
+        pass
