@@ -46,6 +46,9 @@ def _batchnorm1d(x, bn, training: bool, eps: float = 1e-5):
     if training:
         mean = jnp.mean(x, axis=(0, 2))
         var = jnp.var(x, axis=(0, 2))
+        from st_ito_tpu.models.bn_stats import record_bn
+
+        record_bn(bn, mean, var, n=x.size // x.shape[1])
     else:
         mean, var = bn["running_mean"], bn["running_var"]
     y = (x - mean[None, :, None]) / jnp.sqrt(var[None, :, None] + eps)
@@ -151,13 +154,16 @@ _FXE_STRIDES = (4, 4, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1)
 @dataclasses.dataclass(frozen=True)
 class FXEncoderConfig:
     embed_dim: int = 2048
+    channels: tuple = _FXE_CHANNELS
+    kernels: tuple = _FXE_KERNELS
+    strides: tuple = _FXE_STRIDES
 
 
 def init_fx_encoder_params(key, cfg: FXEncoderConfig = FXEncoderConfig()):
     params = {"encoder": []}
-    keys = jax.random.split(key, 2 * len(_FXE_KERNELS))
-    for i, k in enumerate(_FXE_KERNELS):
-        in_c, out_c = _FXE_CHANNELS[i], _FXE_CHANNELS[i + 1]
+    keys = jax.random.split(key, 2 * len(cfg.kernels))
+    for i, k in enumerate(cfg.kernels):
+        in_c, out_c = cfg.channels[i], cfg.channels[i + 1]
         params["encoder"].append({
             # Res_ConvBlock: conv1 (in->in, stride 1) + residual, conv2 (in->out, stride s)
             "conv1": {"weight": _xavier_conv(keys[2 * i], in_c, in_c, k),
@@ -176,7 +182,7 @@ def fx_encoder_apply(params, x, cfg: FXEncoderConfig = FXEncoderConfig(),
                      training: bool = False, rng=None):
     """x (B, 2, T) -> (B, 2048) global-avg-pooled embedding."""
     for i, block in enumerate(params["encoder"]):
-        k, s = _FXE_KERNELS[i], _FXE_STRIDES[i]
+        k, s = cfg.kernels[i], cfg.strides[i]
         pad = k - 1
         l_pad, r_pad = pad // 2, pad - pad // 2
         # conv1: stride 1, SAME reflect, + residual
@@ -225,13 +231,27 @@ def load_fx_encoder_model(ckpt_path: str | None = None,
     if ckpt_path and os.path.isfile(ckpt_path):
         import torch
 
-        from st_ito_tpu.models.convert import strip_prefix, torch_state_dict_to_params
+        from st_ito_tpu.models.convert import (
+            listify_numeric,
+            strip_prefix,
+            torch_state_dict_to_params,
+        )
 
         ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
         sd = ckpt.get("model", ckpt)
+        # DDP-trained release: strip the "module." prefix
+        # (reference: st_ito/utils.py:594-598)
         sd = strip_prefix(sd, "module.") if any(
             k.startswith("module.") for k in sd) else sd
-        params = torch_state_dict_to_params(sd)
+        # flatten the reference's Conv1d_layer nesting
+        # (fx_encoder.py:114-205: convN.conv1d.{conv1d,batch_norm}.*)
+        # onto this module's convN.{weight,bias,bn.*} layout
+        sd = {
+            k.replace(".conv1d.conv1d.", ".").replace(
+                ".conv1d.batch_norm.", ".bn."): v
+            for k, v in sd.items()
+        }
+        params = listify_numeric(torch_state_dict_to_params(sd))
         return FXEncoderModel(params=params)
     if allow_random:
         return FXEncoderModel(

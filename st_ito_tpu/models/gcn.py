@@ -83,6 +83,9 @@ def _bn(x, p, training, eps=1e-5):
     axes = (0, 2, 3)
     if training:
         mean, var = jnp.mean(x, axes), jnp.var(x, axes)
+        from st_ito_tpu.models.bn_stats import record_bn
+
+        record_bn(p, mean, var, n=x.size // x.shape[1])
     else:
         mean, var = p["running_mean"], p["running_var"]
     y = (x - mean[None, :, None, None]) / jnp.sqrt(var[None, :, None, None] + eps)
@@ -167,9 +170,18 @@ def _mr_graph_conv(x, block, k, r, training):
 
 
 def deepgcn_apply(params, x, cfg: DeepGCNConfig, training: bool = False,
-                  rng=None):
+                  rng=None, return_stats: bool = False):
     """x (B, C, T) -> (embed, embed). Mono-summed front end like the
-    reference's reshape (gcn.py:889-892)."""
+    reference's reshape (gcn.py:889-892). With return_stats=True in
+    training mode, also returns the partial pytree of updated BatchNorm
+    running statistics (torch updates them in place on every forward;
+    see models/bn_stats.py)."""
+    if return_stats:
+        from st_ito_tpu.models.bn_stats import collect_bn_stats, stats_tree
+
+        with collect_bn_stats() as collected:
+            mid, side = deepgcn_apply(params, x, cfg, training, rng)
+        return mid, side, (stats_tree(params, collected) if training else {})
     B = x.shape[0]
     mono = jnp.mean(x, axis=1)
 

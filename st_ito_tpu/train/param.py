@@ -70,6 +70,10 @@ def _encoder_init(key, cfg: "ParamEstimatorConfig"):
         from st_ito_tpu.models.htsat import init_htsat_params
 
         return init_htsat_params(key, cfg.encoder)
+    if cfg.encoder_type == "clap":
+        from st_ito_tpu.models.clap import init_clap_audio_params
+
+        return init_clap_audio_params(key, cfg.encoder)
     raise ValueError(f"unknown encoder_type: {cfg.encoder_type}")
 
 
@@ -82,14 +86,25 @@ def _encoder_apply(params, x, cfg: "ParamEstimatorConfig", training, rng,
         out = cnn14_apply(params, x, cfg.encoder, training=training, rng=rng)
         return (*out, {}) if return_stats else out
     if cfg.encoder_type == "dstcn":
+        # dsTCN has no BatchNorm (PReLU + residual convs) — nothing to track
         from st_ito_tpu.models.encoders import dstcn_apply
 
         out = dstcn_apply(params, x, cfg.encoder, training=training, rng=rng)
     elif cfg.encoder_type == "gcn":
         from st_ito_tpu.models.gcn import deepgcn_apply
 
+        if return_stats and training:
+            return deepgcn_apply(params, x, cfg.encoder, training=True,
+                                 rng=rng, return_stats=True)
         out = deepgcn_apply(params, x, cfg.encoder, training=training, rng=rng)
+    elif cfg.encoder_type == "clap":
+        # CLAP tower = HTS-AT, LayerNorm-only — no running statistics
+        from st_ito_tpu.models.clap import clap_audio_apply
+
+        out = clap_audio_apply(params, x, cfg.encoder, training=training,
+                               rng=rng)
     else:
+        # HTS-AT is LayerNorm-only — no running statistics exist
         from st_ito_tpu.models.htsat import htsat_apply
 
         out = htsat_apply(params, x, cfg.encoder, training=training, rng=rng)
@@ -254,15 +269,9 @@ def _train_step(state: ParamTrainState, batch, rng, cfg: ParamEstimatorConfig):
     # merge BatchNorm running-stat updates (non-gradient state, like torch's
     # in-place running_mean/var updates during training)
     if bn_stats:
-        enc = dict(new_params["encoder"])
-        for block_name, blocks in bn_stats.items():
-            blk = dict(enc[block_name])
-            for bn_name, stats in blocks.items():
-                bn = dict(blk[bn_name])
-                bn.update(jax.lax.stop_gradient(stats))
-                blk[bn_name] = bn
-            enc[block_name] = blk
-        new_params["encoder"] = enc
+        from st_ito_tpu.models.bn_stats import merge_bn_stats
+
+        new_params["encoder"] = merge_bn_stats(new_params["encoder"], bn_stats)
 
     d_opt_state = state.d_opt_state
     if cfg.num_adv_classes > 0:

@@ -304,15 +304,10 @@ class StyleTransferSystem:
             new_params = optax.apply_updates(state.params, updates)
             bn_stats = aux.get("bn_stats") or {}
             if bn_stats:
-                enc = dict(new_params["encoder"])
-                for block_name, blocks in bn_stats.items():
-                    blk = dict(enc[block_name])
-                    for bn_name, stats in blocks.items():
-                        bn = dict(blk[bn_name])
-                        bn.update(jax.lax.stop_gradient(stats))
-                        blk[bn_name] = bn
-                    enc[block_name] = blk
-                new_params["encoder"] = enc
+                from st_ito_tpu.models.bn_stats import merge_bn_stats
+
+                new_params["encoder"] = merge_bn_stats(new_params["encoder"],
+                                                       bn_stats)
             return StyleTrainState(params=new_params, opt_state=opt_state,
                                    step=state.step + 1), metrics
 
