@@ -27,7 +27,7 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="small shapes on CPU for smoke testing")
     parser.add_argument("--popsize", type=int, default=0,
-                        help="0 = auto (256 per device)")
+                        help="0 = auto (512 per device)")
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--length", type=int, default=0,
                         help="0 = auto (262144, or 65536 with --quick)")
@@ -52,7 +52,9 @@ def main():
     from st_ito_tpu.parallel import make_mesh
 
     n_dev = len(jax.devices())
-    popsize = args.popsize or (16 if args.quick else 256 * n_dev)
+    # 512/device amortizes fixed per-generation overheads best on v5e
+    # (256: 725 evals/s, 512: 856, 768: 842, 1024: OOM — measured r2)
+    popsize = args.popsize or (16 if args.quick else 512 * n_dev)
     T = args.length or (32768 if args.quick else 262144)
     sample_rate = 48000
 

@@ -89,6 +89,8 @@ def build_batched_render_fn(
     fast: bool = True,
     peak_normalize_output: bool = True,
     fuse_lti: bool = True,
+    fft_mode: str = "auto",
+    fft_precision: str = "high",
 ):
     """The population renderer: render(W (B, P), x) -> (B, C_out, T), with
     x either (C, T) shared across candidates or (B, C, T) per-candidate.
@@ -119,6 +121,11 @@ def build_batched_render_fn(
     # Pallas fast paths (e.g. the exact biquad-cascade EQ) take precedence
     # over the FFT response path when fast inference is on and we're on TPU.
     use_pallas = fast and jax.default_backend() == "tpu"
+    # fused-LTI FFT implementation: "mx" = packed-complex four-step MXU FFT
+    # (ops/mxfft.py — XLA's TPU FFT is far off the roofline at 2^19),
+    # "xla" = jnp.fft. "auto" picks mx on the TPU inference path.
+    if fft_mode == "auto":
+        fft_mode = "mx" if (fast and jax.default_backend() == "tpu") else "xla"
 
     # static plan: group consecutive response-capable stages
     plan: list[tuple[str, list[int]]] = []
@@ -175,35 +182,28 @@ def build_batched_render_fn(
             n = next_pow2(T + pad)
             omega = jnp.linspace(0.0, math.pi, n // 2 + 1, dtype=jnp.float32)
 
+            from st_ito_tpu.chain.responses import (
+                apply_response, bypass_blend, compose_responses)
+
+            F = omega.shape[0]
             kind_H, H = "scalar", None
             for stage, start, _ in stages:
                 params = stage_params(stage, W, start)
                 k, Hs = stage.response_fn(params, omega, sample_rate, C)
                 if chain.with_bypass:
                     active = W[:, start] <= 0.5
-                    if k == "scalar":
-                        Hs = jnp.where(active[:, None], Hs,
-                                       jnp.ones((), Hs.dtype))
-                    else:
-                        eye = jnp.eye(2, dtype=Hs.dtype)[None, :, :, None]
-                        Hs = jnp.where(active[:, None, None, None], Hs, eye)
-                if H is None:
-                    kind_H, H = k, Hs
-                elif kind_H == "scalar" and k == "scalar":
-                    H = H * Hs
-                elif kind_H == "scalar" and k == "matrix":
-                    kind_H, H = "matrix", Hs * H[:, None, None, :]
-                elif kind_H == "matrix" and k == "scalar":
-                    H = H * Hs[:, None, None, :]
-                else:  # matrix @ matrix per frequency
-                    H = jnp.einsum("bijf,bjkf->bikf", Hs, H)
+                    Hs = bypass_blend(k, Hs, active)
+                kind_H, H = compose_responses(kind_H, H, k, Hs, F)
 
-            X = jnp.fft.rfft(x, n=n, axis=-1)  # (B, C, F)
-            if kind_H == "scalar":
-                Y = X * H[:, None, :]
+            if fft_mode == "mx" and kind_H in ("scalar", "monomix"):
+                from st_ito_tpu.ops.mxfft import packed_lti_apply
+
+                x = packed_lti_apply(x, kind_H, H, n,
+                                     precision=fft_precision)
             else:
-                Y = jnp.einsum("bijf,bjf->bif", H, X)
-            x = jnp.fft.irfft(Y, n=n, axis=-1)[..., :T].astype(x.dtype)
+                X = jnp.fft.rfft(x, n=n, axis=-1)  # (B, C, F)
+                Y = apply_response(kind_H, H, X)
+                x = jnp.fft.irfft(Y, n=n, axis=-1)[..., :T].astype(x.dtype)
 
         if peak_normalize_output:
             peak = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)

@@ -21,9 +21,15 @@ from st_ito_tpu.ops import dynamics as _dyn
 from st_ito_tpu.ops.iir import biquad_coeffs
 from st_ito_tpu.ops.reverb import _ALLPASS_TUNINGS, _COMB_TUNINGS, _STEREO_SPREAD
 
-# A response is ("scalar", H) with H broadcastable to (B, F), applied
-# identically per channel; or ("matrix", H) with H (B, 2, 2, F) mixing
-# stereo channels.
+# A response is one of
+#   ("scalar", H)            H broadcastable to (B, F), identical per channel
+#   ("monomix", (D, GL, GR)) structured stereo mix  y_L = D x_L + GL (x_L+x_R),
+#                            y_R = D x_R + GR (x_L+x_R)  — i.e. D·I + g·1^T.
+#                            Closed under composition; covers the widener
+#                            (symmetric mix) and freeverb (mono-summed wet
+#                            path) without materializing a (B, 2, 2, F)
+#                            matrix (~2 GB at pop 256 / n 2^19).
+#   ("matrix", H)            generic H (B, 2, 2, F) mixing stereo channels.
 
 
 def _freqz_omega(b, a, omega):
@@ -108,12 +114,10 @@ def widener_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
     sg = jnp.sqrt(jnp.clip(width, 0.0, 1.0)) * sqrt2
     a = (mg + sg) / 2.0
     b = (mg - sg) / 2.0
-    ones = jnp.ones_like(omega, jnp.complex64)
-    H = jnp.stack([
-        jnp.stack([a[..., None] * ones, b[..., None] * ones], axis=-2),
-        jnp.stack([b[..., None] * ones, a[..., None] * ones], axis=-2),
-    ], axis=-3)  # (B, 2, 2, F)
-    return ("matrix", H.astype(jnp.complex64))
+    # [[a, b], [b, a]] = (a - b) I + b 1 1^T  -> structured monomix form
+    D = (a - b)[..., None].astype(jnp.complex64)
+    G = b[..., None].astype(jnp.complex64)
+    return ("monomix", (D, G, G))
 
 
 # ----------------------------------------------------------------- freeverb
@@ -160,11 +164,82 @@ def freeverb_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
     wet2 = 0.5 * wet_dry * 3.0 * (1.0 - width)
     M_L = (wet1 * H_L + wet2 * H_R) * gain_in  # applied to (xl + xr)
     M_R = (wet1 * H_R + wet2 * H_L) * gain_in
-    H = jnp.stack([
-        jnp.stack([dry + M_L, M_L], axis=-2),
-        jnp.stack([M_R, dry + M_R], axis=-2),
+    # y_L = dry x_L + M_L (x_L + x_R): dry-diagonal + mono-summed wet path
+    dry_c = (dry * jnp.ones((), jnp.complex64)).astype(jnp.complex64)
+    return ("monomix", (dry_c, M_L, M_R))
+
+
+# ------------------------------------------------ response algebra helpers
+
+
+def _mono_to_matrix(D, GL, GR, F):
+    ones = jnp.ones((F,), jnp.complex64)
+    return jnp.stack([
+        jnp.stack([(D + GL) * ones, GL * ones], axis=-2),
+        jnp.stack([GR * ones, (D + GR) * ones], axis=-2),
     ], axis=-3)  # (B, 2, 2, F)
-    return ("matrix", H)
+
+
+def _to_matrix(kind, H, F):
+    if kind == "matrix":
+        return H
+    if kind == "monomix":
+        return _mono_to_matrix(*H, F)
+    eye = jnp.eye(2, dtype=jnp.complex64)[None, :, :, None]
+    return (H * jnp.ones((F,), jnp.complex64))[:, None, None, :] * eye
+
+
+def bypass_blend(kind, H, active):
+    """Blend toward the identity response where ``active`` (B,) is False."""
+    if kind == "scalar":
+        return jnp.where(active[:, None], H, jnp.ones((), H.dtype))
+    if kind == "monomix":
+        D, GL, GR = H
+        return (
+            jnp.where(active[:, None], D, jnp.ones((), D.dtype)),
+            jnp.where(active[:, None], GL, jnp.zeros((), GL.dtype)),
+            jnp.where(active[:, None], GR, jnp.zeros((), GR.dtype)),
+        )
+    eye = jnp.eye(2, dtype=H.dtype)[None, :, :, None]
+    return jnp.where(active[:, None, None, None], H, eye)
+
+
+def compose_responses(kind_old, H_old, kind_new, H_new, F):
+    """Total response H_new · H_old (the new stage is applied after)."""
+    if H_old is None:
+        return kind_new, H_new
+    if kind_old == "scalar" and kind_new == "scalar":
+        return "scalar", H_old * H_new
+    if "matrix" not in (kind_old, kind_new):
+        if kind_old == "scalar":  # scalar commutes: scale the monomix parts
+            D2, GL2, GR2 = H_new
+            return "monomix", (H_old * D2, H_old * GL2, H_old * GR2)
+        if kind_new == "scalar":
+            D1, GL1, GR1 = H_old
+            return "monomix", (D1 * H_new, GL1 * H_new, GR1 * H_new)
+        # (D2 I + g2 1^T)(D1 I + g1 1^T)
+        #   = D1 D2 I + (D2 g1 + (D1 + 1^T g1) g2) 1^T
+        D1, GL1, GR1 = H_old
+        D2, GL2, GR2 = H_new
+        s1 = D1 + GL1 + GR1
+        return "monomix", (
+            D1 * D2, D2 * GL1 + s1 * GL2, D2 * GR1 + s1 * GR2)
+    M = jnp.einsum("bijf,bjkf->bikf", _to_matrix(kind_new, H_new, F),
+                   _to_matrix(kind_old, H_old, F))
+    return "matrix", M
+
+
+def apply_response(kind, H, X):
+    """Apply a composed response to the spectrum X (B, C, F)."""
+    if kind == "scalar":
+        return X * H[:, None, :]
+    if kind == "monomix":
+        D, GL, GR = H
+        Xs = X[:, 0, :] + X[:, 1, :]  # mono sum (B, F)
+        G = jnp.stack([GL * jnp.ones_like(Xs), GR * jnp.ones_like(Xs)],
+                      axis=1)
+        return D[:, None, :] * X + G * Xs[:, None, :]
+    return jnp.einsum("bijf,bjf->bif", H, X)
 
 
 # --------------------------------------------------------- nonlinear stages

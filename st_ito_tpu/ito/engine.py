@@ -57,6 +57,34 @@ _FITNESS_CACHE: dict = {}
 _RENDER_CACHE: dict = {}
 
 
+def _resolve_fitness_dtype(compute_dtype: str | None) -> str | None:
+    """Default fitness compute dtype: bfloat16 on TPU (the MXU's native
+    precision; conv/matmul accumulation stays f32 and ranking agreement is
+    tested), exact f32 elsewhere."""
+    if compute_dtype is not None:
+        return compute_dtype
+    return "bfloat16" if jax.default_backend() == "tpu" else None
+
+
+def _model_dtype_variant(model, compute_dtype: str | None):
+    """Return ``model`` with its config's compute_dtype overridden (for
+    models that support one, e.g. the Cnn14 ParamModel); otherwise return
+    the model unchanged."""
+    import dataclasses
+
+    cfg = getattr(model, "config", None)
+    if (
+        compute_dtype is None
+        or cfg is None
+        or not hasattr(cfg, "compute_dtype")
+        or cfg.compute_dtype == compute_dtype
+        or not dataclasses.is_dataclass(model)
+    ):
+        return model
+    return dataclasses.replace(
+        model, config=dataclasses.replace(cfg, compute_dtype=compute_dtype))
+
+
 def _cached_render(chain, sample_rate, num_channels, normalize_stages=False,
                    batched=False):
     key = (id(chain), sample_rate, num_channels, normalize_stages, batched)
@@ -83,6 +111,8 @@ def make_fitness_fn(
     normalize_stages: bool = False,
     mesh: Mesh | None = None,
     return_audio: bool = False,
+    compute_dtype: str | None = None,
+    fft_precision: str = "high",
 ):
     """Build fitness(W (pop,P), x (C,T), target_embeds, rng) -> fvals (pop,)
     (or (fvals, embeds, audio) when return_audio). Jitted; one XLA program.
@@ -91,15 +121,23 @@ def make_fitness_fn(
     + embed partition across them — the TPU replacement for the reference's
     mp.Pool render parallelism (reference: style_transfer.py:499-502).
 
+    ``compute_dtype``: embed-path matmul/conv precision. Defaults to
+    bfloat16 on TPU (f32 accumulation; argsort agreement with f32 is
+    tested), f32 elsewhere. Pass "float32" to force the exact path.
+
     Programs are cached per (chain, model, config) so repeated run_es calls
     in one process (e.g. the PST benchmark looping over examples) reuse the
     compiled executable instead of re-jitting per call.
     """
+    compute_dtype = _resolve_fitness_dtype(compute_dtype)
     cache_key = (id(chain), id(model), id(content_model), sample_rate,
                  num_channels, embed_func, content_embed_func, dropout,
-                 normalize_stages, id(mesh), return_audio)
+                 normalize_stages, id(mesh), return_audio, compute_dtype,
+                 fft_precision)
     if cache_key in _FITNESS_CACHE:
         return _FITNESS_CACHE[cache_key][0]
+    orig_model = model  # id()-keyed; pinned below alongside the variant
+    model = _model_dtype_variant(model, compute_dtype)
     if normalize_stages:
         # per-stage normalization is incompatible with LTI fusion; fall back
         # to the per-candidate renderer under vmap
@@ -112,7 +150,36 @@ def make_fitness_fn(
         # natively batched population renderer: fused LTI groups + Pallas
         # compressor ballistics (ES needs no gradients -> fast=True)
         render = build_batched_render_fn(chain, sample_rate, num_channels,
-                                         fast=True)
+                                         fast=True,
+                                         fft_precision=fft_precision)
+
+    # Host-side metric backends (CLAP / wav2vec2 torch wrappers, marked
+    # with .host_side) cannot trace into the jitted program: render on
+    # device, embed on host, score in numpy — the reference's exact
+    # structure for these metrics (style_transfer.py:541-571 with a torch
+    # model).
+    if getattr(embed_func, "host_side", False):
+        render_j = jax.jit(render)
+
+        def host_fitness(W, x, target_embeds, target_content_embeds, rng):
+            Y = render_j(jnp.asarray(W, jnp.float32), x)
+            out = embed_func(Y, model, sample_rate)
+            dists = []
+            for name, e in out.items():
+                t = np.asarray(target_embeds[name])
+                e = np.asarray(e)
+                d = -np.sum(e * t, axis=-1) / (
+                    np.linalg.norm(e, axis=-1) * np.linalg.norm(t, axis=-1)
+                    + 1e-12)
+                dists.append(d)
+            fvals = np.mean(np.stack(dists, axis=0), axis=0)
+            if return_audio:
+                return fvals, out, Y
+            return fvals
+
+        _FITNESS_CACHE[cache_key] = (host_fitness, chain, orig_model, model,
+                                     content_model, mesh)
+        return host_fitness
 
     # Model weights flow through the jit boundary as arguments — closing
     # over ~80M params would bake them into the HLO as constants and blow
@@ -155,7 +222,8 @@ def make_fitness_fn(
                       target_content_embeds, rng)
 
     # pin refs for every id()-keyed object (see cache comment above)
-    _FITNESS_CACHE[cache_key] = (fitness, chain, model, content_model, mesh)
+    _FITNESS_CACHE[cache_key] = (fitness, chain, orig_model, model,
+                                 content_model, mesh)
     return fitness
 
 
@@ -215,6 +283,7 @@ def run_es(
     early_stop_threshold: float = -0.01,
     verbose: bool = True,
     es_state_path: str | None = None,
+    fitness_dtype: str | None = None,
     **kwargs,
 ):
     """CMA-ES inference-time optimization
@@ -250,6 +319,7 @@ def run_es(
         chain, model, sample_rate, x_full.shape[0], embed_func,
         content_model, content_embed_func, dropout,
         normalize_stages, mesh, return_audio=savepop,
+        compute_dtype=fitness_dtype,
     )
     # Dropout is disabled on the final generation (reference:
     # style_transfer.py:632-635); a second cached program with dropout=0
@@ -258,6 +328,7 @@ def run_es(
         chain, model, sample_rate, x_full.shape[0], embed_func,
         content_model, content_embed_func, 0.0,
         normalize_stages, mesh, return_audio=savepop,
+        compute_dtype=fitness_dtype,
     )
 
     def eval_W(W, iteration_rng, dropout_active=True):
@@ -414,6 +485,8 @@ def run_es_multitrack(
     target_audio = _peak_norm_items(target_audio)
 
     target_embeds = embed_func(target_audio, model, sample_rate)
+    model = _model_dtype_variant(model, _resolve_fitness_dtype(
+        kwargs.get("fitness_dtype")))
     model_params = getattr(model, "params", None)
 
     render = build_batched_render_fn(chain, sample_rate, input_audio.shape[1],
@@ -713,6 +786,27 @@ def run_learned_inference(
     return result
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("sample_rate",))
+def _rb_lufs(sig, sample_rate):
+    from st_ito_tpu.ops.loudness import integrated_loudness
+
+    return integrated_loudness(sig, sample_rate)
+
+
+@partial(jax.jit, static_argnames=("sample_rate",))
+def _rb_comp_step(sig, th, sample_rate):
+    from st_ito_tpu.ops.dynamics import compressor
+    from st_ito_tpu.ops.loudness import integrated_loudness
+
+    y = compressor(sig, sample_rate, threshold_db=th, ratio=3.0,
+                   attack_ms=1.0, release_ms=100.0, knee_db=0.5)
+    y = y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-8) * 10 ** (-12 / 20)
+    return y, integrated_loudness(y, sample_rate)
+
+
 def run_rule_based(
     input_audio,
     target_audio,
@@ -725,11 +819,10 @@ def run_rule_based(
 ):
     """Matched-EQ FIR + iterative compressor-threshold hill climb on the LUFS
     delta (reference: st_ito/style_transfer.py:184-278). Host-side
-    scipy filter design; rendering on device."""
+    scipy filter design; rendering on device. The device helpers are
+    module-level jitted functions so a benchmark sweep over many examples
+    compiles them once, not once per example."""
     import scipy.signal
-
-    from st_ito_tpu.ops.dynamics import compressor
-    from st_ito_tpu.ops.loudness import integrated_loudness
 
     t0 = time.time()
     bs = input_audio.shape[0]
@@ -756,24 +849,15 @@ def run_rule_based(
         x_filt = scipy.signal.lfilter(fir, [1.0], x).astype(np.float32)
         x_filt = x_filt / max(np.abs(x_filt).max(), 1e-8) * 10 ** (-12 / 20)
 
-        lufs_jit = jax.jit(lambda s: integrated_loudness(s, sample_rate))
-
-        def comp_step(sig, th):
-            y = compressor(sig, sample_rate, threshold_db=th, ratio=3.0,
-                           attack_ms=1.0, release_ms=100.0, knee_db=0.5)
-            y = y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-8) * 10 ** (-12 / 20)
-            return y, integrated_loudness(y, sample_rate)
-
-        comp_step = jax.jit(comp_step)
-
-        target_lufs = float(lufs_jit(jnp.asarray(t)))
+        target_lufs = float(_rb_lufs(jnp.asarray(t), sample_rate))
         x_cur = jnp.asarray(x_filt)
-        cur_lufs = float(lufs_jit(x_cur))
+        cur_lufs = float(_rb_lufs(x_cur, sample_rate))
         delta = target_lufs - cur_lufs
         threshold_db = 0.0
         while delta > 0.25 and threshold_db > -80.0:
-            y, y_lufs = comp_step(jnp.asarray(x_filt),
-                                  jnp.asarray(threshold_db, jnp.float32))
+            y, y_lufs = _rb_comp_step(jnp.asarray(x_filt),
+                                      jnp.asarray(threshold_db, jnp.float32),
+                                      sample_rate)
             cur_lufs = float(y_lufs)
             delta = target_lufs - cur_lufs
             threshold_db -= 2.0

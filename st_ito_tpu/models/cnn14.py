@@ -92,11 +92,14 @@ def init_cnn14_params(key, config: Cnn14Config) -> Params:
     return params
 
 
-def _conv3x3(x, w):
+def _conv3x3(x, w, out_dtype=jnp.float32):
+    # out_dtype=bfloat16 on the inference fast path keeps the activation
+    # traffic half-width (the MXU still accumulates in f32 internally);
+    # training/parity paths keep f32 outputs
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
 
 
@@ -131,24 +134,50 @@ def _batchnorm(x, bn, training: bool, axis: int = 1, eps: float = 1e-5):
 
 
 def _avg_pool_2x2(x):
+    # init must be a concrete numpy scalar of x's dtype: a traced init
+    # routes to the generic reduce_window primitive, which has no transpose
+    # rule (breaks reverse-mode autodiff in training)
+    init = np.zeros((), jnp.dtype(x.dtype))[()]
     return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+        x, init, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
     ) / 4.0
+
+
+def _folded_bn(x, bn, eps: float = 1e-5):
+    """Eval-mode BN folded to one scale+shift, computed in f32 and applied
+    in x's (possibly bfloat16) dtype — keeps the fast path half-width."""
+    scale = bn["weight"] / jnp.sqrt(bn["running_var"] + eps)
+    shift = bn["bias"] - bn["running_mean"] * scale
+    shape = (1, x.shape[1], 1, 1)
+    return x * scale.astype(x.dtype).reshape(shape) + shift.astype(
+        x.dtype).reshape(shape)
 
 
 def _conv_block(x, block, training, dropout_rng, use_batchnorm, pool,
                 compute_dtype=jnp.float32, stats_out: dict | None = None):
-    h = _conv3x3(x.astype(compute_dtype), block["conv1"]["weight"])
+    # inference fast path in bfloat16: half-width activations end-to-end
+    # (conv outputs, folded BN, ReLU, pool) — the conv stack is
+    # HBM-bandwidth-bound at population scale, not MXU-bound
+    fast = (not training) and compute_dtype == jnp.bfloat16
+    out_dtype = compute_dtype if fast else jnp.float32
+
+    h = _conv3x3(x.astype(compute_dtype), block["conv1"]["weight"], out_dtype)
     if use_batchnorm:
-        h, s1 = _batchnorm(h, block["bn1"], training)
-        if stats_out is not None and s1 is not None:
-            stats_out["bn1"] = s1
+        if fast:
+            h = _folded_bn(h, block["bn1"])
+        else:
+            h, s1 = _batchnorm(h, block["bn1"], training)
+            if stats_out is not None and s1 is not None:
+                stats_out["bn1"] = s1
     h = jax.nn.relu(h)
-    h = _conv3x3(h.astype(compute_dtype), block["conv2"]["weight"])
+    h = _conv3x3(h.astype(compute_dtype), block["conv2"]["weight"], out_dtype)
     if use_batchnorm:
-        h, s2 = _batchnorm(h, block["bn2"], training)
-        if stats_out is not None and s2 is not None:
-            stats_out["bn2"] = s2
+        if fast:
+            h = _folded_bn(h, block["bn2"])
+        else:
+            h, s2 = _batchnorm(h, block["bn2"], training)
+            if stats_out is not None and s2 is not None:
+                stats_out["bn2"] = s2
     h = jax.nn.relu(h)
     if pool:
         h = _avg_pool_2x2(h)
@@ -187,12 +216,20 @@ def _spec_augment(x, rng, time_drop_width=64, time_stripes=2,
 
 
 def _logmel_frontend(x, config: Cnn14Config, mel_matrix, window):
-    """(N, T) -> (N, 1, frames, mel_bins), torchlibrosa parity."""
-    from st_ito_tpu.ops.stft import frame_signal
+    """(N, T) -> (N, 1, frames, mel_bins), torchlibrosa parity.
+
+    In bfloat16 compute mode the power spectrum runs as a cos/sin DFT
+    matrix product on the MXU (see ops/stft.py:dft_power_matmul) — XLA's
+    batched small FFT is several times slower; the f32/parity path keeps
+    the exact FFT."""
+    from st_ito_tpu.ops.stft import dft_power_matmul, frame_signal
 
     n_fft, hop = config.window_size, config.hop_size
     frames = frame_signal(x, n_fft, hop, center=True) * window
-    S = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
+    if config.compute_dtype == "bfloat16":
+        S = dft_power_matmul(frames)
+    else:
+        S = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
     mel = S @ mel_matrix
     mel_db = power_to_db(mel, ref=1.0, amin=1e-10, top_db=None)
     return mel_db[:, None, :, :]
@@ -258,6 +295,7 @@ def cnn14_apply(
         if block_stats:
             stats_updates[f"conv_block{i + 1}"] = block_stats
 
+    h = h.astype(jnp.float32)  # pool + heads in f32 (tiny tensors)
     h = jnp.mean(h, axis=3)  # mean over mel
     h = jnp.max(h, axis=2) + jnp.mean(h, axis=2)  # (N, 2048)
 

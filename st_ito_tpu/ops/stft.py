@@ -54,6 +54,32 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> j
     return jnp.take(x, idx, axis=-1)
 
 
+def dft_power_matmul(frames: jnp.ndarray,
+                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Power spectrum ``|rfft(frames)|**2`` via two MXU matrix products.
+
+    XLA's TPU FFT runs far below HBM peak for batched small transforms
+    (~6x off speed-of-light for the 2048-point STFT at population scale);
+    an explicit cos/sin DFT matrix product maps onto the MXU instead. With
+    bfloat16 inputs and float32 accumulation the power-spectrum error is
+    ~0.5% relative (<0.05 dB after log), negligible for fitness ranking.
+    Used by the bfloat16 fitness path; the f32/parity path keeps the exact
+    FFT.
+
+    frames: (..., n) real -> (..., n//2 + 1) power.
+    """
+    n = frames.shape[-1]
+    k = np.arange(n, dtype=np.float64)[:, None]
+    f = np.arange(n // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * f / n
+    cos_m = jnp.asarray(np.cos(ang), compute_dtype)
+    sin_m = jnp.asarray(np.sin(ang), compute_dtype)
+    fb = frames.astype(compute_dtype)
+    re = jnp.matmul(fb, cos_m, preferred_element_type=jnp.float32)
+    im = jnp.matmul(fb, sin_m, preferred_element_type=jnp.float32)
+    return re * re + im * im
+
+
 def stft(
     x: jnp.ndarray, n_fft: int, hop: int, center: bool = True, window=None
 ) -> jnp.ndarray:
