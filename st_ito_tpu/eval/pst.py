@@ -100,20 +100,41 @@ def run_pst_benchmark(
 
 
 def default_methods(chain, model, embed_func, popsize=128, max_iters=32,
-                    sigma0=0.33, seed=0):
-    """The reference benchmark's method set (reference: eval_pst.py:944-1012)."""
-    from st_ito_tpu.ito import run_es, run_input, run_random, run_rule_based
+                    sigma0=0.33, seed=0, style_systems: dict | None = None):
+    """The reference benchmark's method set (reference: eval_pst.py:944-1012):
+    input / random / rule-based / deepafx-st / deepafx-st+ / style-es.
 
-    return {
+    ``style_systems``: {"deepafx-st": (system, state), "deepafx-st+":
+    (system, state)} — trained StyleTransferSystems for the learned-inference
+    baselines (the reference loads two pretrained Lightning checkpoints,
+    eval_pst.py:957-973; here any locally trained system, e.g. from
+    examples/pst_full_demo.py, fills the same roles). Omitted entries are
+    skipped, mirroring how the reference benchmark is gated on its
+    checkpoint paths being reachable."""
+    from st_ito_tpu.ito import (
+        run_es,
+        run_input,
+        run_learned_inference,
+        run_random,
+        run_rule_based,
+    )
+
+    methods = {
         "input": {"func": lambda x, y, sr: run_input(x, y, sr)},
         "random": {"func": lambda x, y, sr: run_random(x, y, sr, chain, model,
                                                        seed=seed)},
         "rule-based": {"func": lambda x, y, sr: run_rule_based(x, y, sr)},
-        "style-es": {
-            "func": lambda x, y, sr: run_es(
-                x, y, sr, chain, model, embed_func=embed_func,
-                max_iters=max_iters, popsize=popsize, sigma0=sigma0,
-                random_crop=True, seed=seed, verbose=False,
-            )
-        },
     }
+    for name, (system, state) in (style_systems or {}).items():
+        methods[name] = {
+            "func": lambda x, y, sr, _s=system, _t=state:
+                run_learned_inference(x, y, sr, _s, _t)
+        }
+    methods["style-es"] = {
+        "func": lambda x, y, sr: run_es(
+            x, y, sr, chain, model, embed_func=embed_func,
+            max_iters=max_iters, popsize=popsize, sigma0=sigma0,
+            random_crop=True, find_w0=False, seed=seed, verbose=False,
+        )
+    }
+    return methods

@@ -15,6 +15,7 @@ from st_ito_tpu.ito.engine import (
     run_es,
     run_es_multitrack,
     run_input,
+    run_learned_inference,
     run_random,
     run_rule_based,
     run_staged_es,
@@ -28,6 +29,7 @@ __all__ = [
     "run_staged_es",
     "run_autodiff",
     "run_input",
+    "run_learned_inference",
     "run_random",
     "run_rule_based",
 ]
