@@ -144,9 +144,14 @@ def main(argv=None):
         model = load_mfcc_feature_extractor()
         embed_func = get_mfcc_feature_embeds
     else:
-        raise NotImplementedError(
-            "clap metric requires the CLAP checkpoint; use --metric param/mfcc"
-        )
+        # CLAP metric (reference: run_optim.py:541-549): attempt the gated
+        # loader — it serves the weights when the local HF cache has them
+        # and raises with instructions otherwise.
+        from st_ito_tpu.models.registry import get_clap_embeds, load_clap_model
+
+        model = load_clap_model()
+        embed_func = lambda x, m, sr, **kw: get_clap_embeds(  # noqa: E731
+            x, m, sr, midside=True)
 
     # ---- target ----
     if args.target in (None, "None", "none"):

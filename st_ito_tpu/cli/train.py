@@ -48,6 +48,13 @@ def _encoder_config(d: dict, encoder_type: str = "cnn14"):
             if k in d:
                 d[k] = tuple(d[k])
         return HTSATConfig(**d)
+    if encoder_type == "clap":
+        from st_ito_tpu.models.clap import CLAPAudioConfig
+
+        d = dict(d)
+        if "tower" in d:
+            d["tower"] = _encoder_config(d["tower"], "htsat")
+        return CLAPAudioConfig(**d)
     from st_ito_tpu.models.cnn14 import Cnn14Config
 
     return Cnn14Config(**d)

@@ -288,6 +288,11 @@ def get_clap_embeds(
     return out
 
 
+# torch runs on host — the ITO engine routes these through its host-side
+# fitness path instead of tracing them into the jitted program
+get_clap_embeds.host_side = True
+
+
 # ------------- wav2vec2 / wav2clip / vggish (reference: utils.py:279-383) --
 
 
@@ -326,6 +331,9 @@ def get_wav2vec2_embeds(x: jnp.ndarray, model: Wav2Vec2Handle,
         out = model.model(torch.from_numpy(mono)).last_hidden_state
         feats = torch.nn.functional.normalize(out.mean(dim=1), p=2, dim=-1)
     return {"mono": jnp.asarray(feats.numpy())}
+
+
+get_wav2vec2_embeds.host_side = True
 
 
 def load_wav2clip_model(use_gpu: bool = False):
