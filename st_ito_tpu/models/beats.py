@@ -1,16 +1,27 @@
-"""BEATs-style audio transformer (eval-only metric baseline) in pure JAX.
+"""BEATs (iter3+ AS2M) audio transformer in pure JAX — checkpoint-faithful.
 
-Compact reimplementation of the vendored Microsoft BEATs encoder used by the
-reference as an eval-only embedding backend
-(reference: st_ito/models/beats/beats.py:87, backbone.py:26-420,
-st_ito/utils.py:225-275): 128-mel fbank input normalized and patch-embedded
-with a 16x16 conv, a grouped-conv positional embedding, and a deep post-LN
-transformer encoder; embeddings are mean-pooled hidden states.
+Reimplementation of the vendored Microsoft BEATs encoder the reference uses
+as an eval-only embedding backend (reference: st_ito/models/beats/beats.py
+:87-180, backbone.py:26-288 TransformerEncoder/layers, backbone.py:291-716
+MultiheadAttention, st_ito/utils.py:225-275 loader/embedder).
 
-Simplifications (documented): the GRU-gated relative-position bias and the
-tokenizer/EMA quantizer (training-time machinery) are omitted — the
-reference uses BEATs purely as a frozen feature extractor. The iter3+
-checkpoint is downloadable only online; the loader is gated accordingly.
+Faithful to the released iter3+ checkpoint, including the parts round 1
+omitted:
+
+- kaldi-fbank front end (25 ms/10 ms, 128 htk mels, povey window,
+  preemphasis 0.97, snip_edges) with the published normalization stats
+- 16x16 patch conv to embed 512, LayerNorm, projection to 768
+- weight-normed grouped positional conv (k=128, 16 groups, SamePad trim)
+- post-LN transformer with DeepNorm residual scaling alpha=(2L)^(1/4)
+- T5-style bucketed relative position bias (320 buckets, max distance
+  800), computed in layer 0 and shared across layers
+- the GRU-gated relative-position bias: per-layer gates
+  a,b = sigmoid(sum-chunks(grep_linear(q))), bias *= a*(b*grep_a - 1) + 2
+  (backbone.py:675-693)
+- the alpha=32 attention rescaling trick (q/32, (logits - max)*32)
+
+The parameter pytree uses the torch state_dict naming so the released
+checkpoint converts mechanically (weight-norm g/v pairs are folded at load).
 """
 
 from __future__ import annotations
@@ -18,25 +29,63 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-from st_ito_tpu.ops.stft import frame_signal, hann_window, mel_filterbank
+from st_ito_tpu.ops.stft import mel_filterbank
 
 
 @dataclasses.dataclass(frozen=True)
 class BEATsConfig:
-    embed_dim: int = 768
+    # released iter3+ AS2M configuration (beats.py BEATsConfig defaults)
+    embed_dim: int = 512          # patch embedding width ("embed")
+    encoder_embed_dim: int = 768
     depth: int = 12
     heads: int = 12
-    mlp_ratio: float = 4.0
+    ffn_dim: int = 3072
     patch: int = 16
     conv_pos: int = 128
     conv_pos_groups: int = 16
+    num_buckets: int = 320
+    max_distance: int = 800
+    deep_norm: bool = True
+    gru_rel_pos: bool = True
     mel_bins: int = 128
     sample_rate: float = 16000.0
-    window_size: int = 400  # 25 ms @ 16 kHz (kaldi fbank convention)
-    hop_size: int = 160  # 10 ms
+    fbank_mean: float = 15.41663
+    fbank_std: float = 6.55582
+
+
+# ---------------------------------------------------------------- fbank
+
+
+def kaldi_fbank(mono: jnp.ndarray, cfg: BEATsConfig) -> jnp.ndarray:
+    """torchaudio.compliance.kaldi.fbank defaults @16 kHz:
+    frame 400/hop 160, snip_edges, remove_dc_offset, preemphasis 0.97,
+    povey window (hann^0.85), n_fft 512, power spectrum, 128 htk mels
+    20..nyquist without norm, natural log with kaldi's eps floor.
+    mono: (B, T) already scaled by 2^15 (reference preprocess:139-147).
+    """
+    frame_len, hop, n_fft = 400, 160, 512
+    T = mono.shape[-1]
+    n_frames = 1 + (T - frame_len) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
+    frames = mono[:, idx]  # (B, F, 400)
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)  # remove DC
+    prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+    frames = frames - 0.97 * prev  # kaldi preemphasis (edge uses x[0])
+    k = np.arange(frame_len, dtype=np.float64)
+    povey = (0.5 - 0.5 * np.cos(2 * np.pi * k / (frame_len - 1))) ** 0.85
+    frames = frames * jnp.asarray(povey, jnp.float32)
+    S = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1)) ** 2
+    mel = mel_filterbank(cfg.sample_rate, n_fft, cfg.mel_bins, 20.0,
+                         cfg.sample_rate / 2.0, htk=True, norm=None)
+    fb = S @ mel
+    return jnp.log(jnp.maximum(fb, 1.1921e-07))  # kaldi epsilon floor
+
+
+# ------------------------------------------------------------- components
 
 
 def _ln_init(c):
@@ -49,8 +98,8 @@ def _ln(p, x, eps=1e-5):
     return (x - mu) / jnp.sqrt(var + eps) * p["weight"] + p["bias"]
 
 
-def _linear_init(key, out_f, in_f):
-    a = math.sqrt(6.0 / (in_f + out_f))
+def _linear_init(key, out_f, in_f, gain=1.0):
+    a = gain * math.sqrt(6.0 / (in_f + out_f))
     return {"weight": jax.random.uniform(key, (out_f, in_f), jnp.float32, -a, a),
             "bias": jnp.zeros(out_f)}
 
@@ -59,82 +108,175 @@ def _linear(p, x):
     return x @ p["weight"].T + p["bias"]
 
 
+def _relative_position_bucket(relative_positions: np.ndarray,
+                              num_buckets: int, max_distance: int):
+    """T5 bidirectional bucketing (reference: backbone.py:406-435)."""
+    num_buckets = num_buckets // 2
+    buckets = (relative_positions > 0).astype(np.int64) * num_buckets
+    rel = np.abs(relative_positions)
+    max_exact = num_buckets // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rel, 1).astype(np.float64) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, num_buckets - 1)
+    return buckets + np.where(is_small, rel, large)
+
+
 def init_beats_params(key, cfg: BEATsConfig):
-    keys = iter(jax.random.split(key, 8 + 6 * cfg.depth))
-    d = cfg.embed_dim
+    keys = iter(jax.random.split(key, 16 + 8 * cfg.depth))
+    d = cfg.encoder_embed_dim
+    e = cfg.embed_dim
+    hd = d // cfg.heads
+    beta = math.pow(8 * cfg.depth, -0.25) if cfg.deep_norm else 1.0
     params: dict = {
-        "patch_embed": {
+        "patch_embedding": {
             "weight": jax.random.normal(next(keys),
-                                        (d, 1, cfg.patch, cfg.patch)) * 0.02,
-            "bias": jnp.zeros(d),
+                                        (e, 1, cfg.patch, cfg.patch)) * 0.02,
         },
-        "pos_conv": {
-            "weight": jax.random.normal(
-                next(keys), (d, d // cfg.conv_pos_groups, cfg.conv_pos)) * 0.02,
-            "bias": jnp.zeros(d),
+        "layer_norm": _ln_init(e),
+        "post_extract_proj": _linear_init(next(keys), d, e),
+        "encoder": {
+            # Sequential index 0 = the conv (weight-norm folded at load)
+            "pos_conv": [{
+                "weight": jax.random.normal(
+                    next(keys),
+                    (d, d // cfg.conv_pos_groups, cfg.conv_pos))
+                * math.sqrt(4.0 / (cfg.conv_pos * d)),
+                "bias": jnp.zeros(d),
+            }],
+            "layer_norm": _ln_init(d),
+            "layers": [],
         },
-        "norm_in": _ln_init(d),
-        "layers": [],
     }
-    for _ in range(cfg.depth):
-        params["layers"].append({
-            "qkv": _linear_init(next(keys), 3 * d, d),
-            "proj": _linear_init(next(keys), d, d),
-            "norm1": _ln_init(d),
-            "fc1": _linear_init(next(keys), int(d * cfg.mlp_ratio), d),
-            "fc2": _linear_init(next(keys), d, int(d * cfg.mlp_ratio)),
-            "norm2": _ln_init(d),
-        })
+    for li in range(cfg.depth):
+        layer = {
+            "self_attn": {
+                "q_proj": _linear_init(next(keys), d, d),
+                "k_proj": _linear_init(next(keys), d, d),
+                "v_proj": _linear_init(next(keys), d, d, gain=beta),
+                "out_proj": _linear_init(next(keys), d, d, gain=beta),
+            },
+            "self_attn_layer_norm": _ln_init(d),
+            "fc1": _linear_init(next(keys), cfg.ffn_dim, d, gain=beta),
+            "fc2": _linear_init(next(keys), d, cfg.ffn_dim, gain=beta),
+            "final_layer_norm": _ln_init(d),
+        }
+        if li == 0:
+            layer["self_attn"]["relative_attention_bias"] = {
+                "weight": jax.random.normal(
+                    next(keys), (cfg.num_buckets, cfg.heads)) * 0.02,
+            }
+        if cfg.gru_rel_pos:
+            layer["self_attn"]["grep_linear"] = _linear_init(next(keys), 8, hd)
+            layer["self_attn"]["grep_a"] = jnp.ones((1, cfg.heads, 1, 1))
+        params["encoder"]["layers"].append(layer)
     return params
 
 
-def beats_apply(params, x, cfg: BEATsConfig, training: bool = False, rng=None):
-    """x (B, C, T) at cfg.sample_rate -> (B, embed_dim) mean-pooled."""
-    mono = jnp.mean(x, axis=1)
-    mel_matrix = mel_filterbank(cfg.sample_rate, 512, cfg.mel_bins, 20.0,
-                                cfg.sample_rate / 2, htk=True, norm=None)
-    frames = frame_signal(mono, cfg.window_size, cfg.hop_size,
-                          center=False) * hann_window(cfg.window_size)
-    S = jnp.abs(jnp.fft.rfft(frames, n=512, axis=-1)) ** 2
-    fbank = jnp.log(S @ mel_matrix + 1e-6)
-    fbank = (fbank - jnp.mean(fbank)) / (2.0 * jnp.std(fbank) + 1e-5)
+def _attention(layer_p, h, pos_bias, cfg: BEATsConfig):
+    """Faithful MultiheadAttention forward (backbone.py:442-716), batch-first
+    layout. pos_bias: (heads, N, N) shared bias table values."""
+    B, N, D = h.shape
+    heads, hd = cfg.heads, D // cfg.heads
+    alpha = 32.0
+    scaling = hd ** -0.5
 
-    # crop frames to a patch multiple, layout (B, 1, frames, mel)
+    q0 = _linear(layer_p["q_proj"], h)  # raw q (gate input)
+    q = q0 * (scaling / alpha)
+    k = _linear(layer_p["k_proj"], h)
+    v = _linear(layer_p["v_proj"], h)
+
+    def split(t):
+        return t.reshape(B, N, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+    logits = (logits - jnp.max(logits, axis=-1, keepdims=True)) * alpha
+
+    if pos_bias is not None:
+        bias = pos_bias[None]  # (1, heads, N, N)
+        if cfg.gru_rel_pos:
+            # gated relative position bias (backbone.py:675-693): the gate
+            # input is q * alpha / scaling == the raw q projection
+            ql = split(q0)
+            gates = _linear(layer_p["grep_linear"], ql)  # (B,h,N,8)
+            gates = jax.nn.sigmoid(
+                gates.reshape(B, heads, N, 2, 4).sum(-1))
+            gate_a, gate_b = gates[..., 0], gates[..., 1]
+            gate_a_1 = gate_a * (gate_b * layer_p["grep_a"][..., 0] - 1.0) + 2.0
+            bias = gate_a_1[..., None] * bias
+        logits = logits + bias
+
+    attn = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+    return _linear(layer_p["out_proj"], o)
+
+
+def beats_apply(params, x, cfg: BEATsConfig, training: bool = False, rng=None):
+    """x (B, C, T) at cfg.sample_rate -> (B, encoder_embed_dim) mean-pooled
+    encoder features (the reference embeds with mean over tokens,
+    utils.py:258-266)."""
+    mono = jnp.mean(x, axis=1) * (2.0 ** 15)  # reference preprocess scaling
+    fbank = kaldi_fbank(mono, cfg)
+    fbank = (fbank - cfg.fbank_mean) / (2.0 * cfg.fbank_std)
+    h = beats_encode_fbank(params, fbank, cfg)
+    return jnp.mean(h, axis=1)
+
+
+def beats_encode_fbank(params, fbank, cfg: BEATsConfig):
+    """Normalized fbank (B, frames, mel) -> token features
+    (B, N, encoder_embed_dim): reference extract_features minus the kaldi
+    preprocess (beats.py:159-180 + backbone.py:111-172)."""
+    # patch embedding: (B, 1, frames, mel) -> conv k=p s=p -> tokens
     Fh = (fbank.shape[1] // cfg.patch) * cfg.patch
     h = fbank[:, :Fh][:, None]
     h = jax.lax.conv_general_dilated(
-        h, params["patch_embed"]["weight"], (cfg.patch, cfg.patch), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        h, params["patch_embedding"]["weight"], (cfg.patch, cfg.patch),
+        "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
-    ) + params["patch_embed"]["bias"][None, :, None, None]
-    B, D, Hp, Wp = h.shape
-    h = h.transpose(0, 2, 3, 1).reshape(B, Hp * Wp, D)
-    h = _ln(params["norm_in"], h)
+    )
+    B, E, Hp, Wp = h.shape
+    h = h.reshape(B, E, Hp * Wp).transpose(0, 2, 1)  # (B, N, embed)
+    h = _ln(params["layer_norm"], h)
+    h = _linear(params["post_extract_proj"], h)
 
-    # grouped-conv positional embedding over the token sequence
-    pc = params["pos_conv"]
+    enc = params["encoder"]
+    # positional conv (weight-norm folded at conversion), SamePad trims the
+    # trailing element for even kernels, then GELU (backbone.py:33-46)
+    pc = enc["pos_conv"][0]
     pos = jax.lax.conv_general_dilated(
-        h.transpose(0, 2, 1), pc["weight"], (1,), "SAME",
+        h.transpose(0, 2, 1), pc["weight"], (1,),
+        [(cfg.conv_pos // 2, cfg.conv_pos // 2)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=cfg.conv_pos_groups,
         preferred_element_type=jnp.float32,
     ) + pc["bias"][None, :, None]
-    h = h + jax.nn.gelu(pos.transpose(0, 2, 1))
+    if cfg.conv_pos % 2 == 0:
+        pos = pos[..., :-1]
+    h = h + jax.nn.gelu(pos.transpose(0, 2, 1), approximate=False)
+    h = _ln(enc["layer_norm"], h)  # layer_norm_first=False path
 
-    heads = cfg.heads
-    for layer in params["layers"]:
-        # post-LN transformer block (fairseq convention)
-        qkv = _linear(layer["qkv"], h).reshape(B, -1, 3, heads, D // heads)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (D // heads) ** -0.5, k)
-        attn = jax.nn.softmax(attn, axis=-1)
-        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        o = o.transpose(0, 2, 1, 3).reshape(B, -1, D)
-        h = _ln(layer["norm1"], h + _linear(layer["proj"], o))
-        m = jax.nn.gelu(_linear(layer["fc1"], h))
-        h = _ln(layer["norm2"], h + _linear(layer["fc2"], m))
+    # shared T5 relative position bias from layer 0 (backbone.py:78-84)
+    N = h.shape[1]
+    rel = np.arange(N)[None, :] - np.arange(N)[:, None]
+    buckets = jnp.asarray(_relative_position_bucket(
+        rel, cfg.num_buckets, cfg.max_distance))
+    bias_table = enc["layers"][0]["self_attn"]["relative_attention_bias"]["weight"]
+    pos_bias = bias_table[buckets].transpose(2, 0, 1)  # (heads, N, N)
 
-    return jnp.mean(h, axis=1)
+    deep_alpha = math.pow(2 * cfg.depth, 0.25) if cfg.deep_norm else 1.0
+    for layer in enc["layers"]:
+        # post-LN + DeepNorm residual scaling (backbone.py:261-288)
+        attn_out = _attention(layer["self_attn"], h, pos_bias, cfg)
+        h = _ln(layer["self_attn_layer_norm"], h * deep_alpha + attn_out)
+        m = jax.nn.gelu(_linear(layer["fc1"], h), approximate=False)
+        h = _ln(layer["final_layer_norm"], h * deep_alpha + _linear(layer["fc2"], m))
+
+    return h
 
 
 @dataclasses.dataclass
@@ -154,6 +296,28 @@ class BEATsModel:
         return self._jitted(self.params, x)
 
 
+def convert_beats_state_dict(sd: dict, cfg: BEATsConfig | None = None):
+    """torch state_dict -> JAX pytree: fold the pos_conv weight norm
+    (g * v / ||v|| over dims (0,1) per kernel position, torch weight_norm
+    dim=2) and drop tokenizer/predictor entries."""
+    import torch
+
+    from st_ito_tpu.models.convert import (
+        listify_numeric,
+        torch_state_dict_to_params,
+    )
+
+    sd = {k: v for k, v in sd.items()
+          if not k.startswith(("predictor", "quantize", "tokenizer"))}
+    gk = "encoder.pos_conv.0.weight_g"
+    vk = "encoder.pos_conv.0.weight_v"
+    if gk in sd:
+        g, v = sd.pop(gk), sd.pop(vk)
+        norm = torch.linalg.vector_norm(v, dim=(0, 1), keepdim=True)
+        sd["encoder.pos_conv.0.weight"] = g * v / torch.clamp(norm, min=1e-12)
+    return listify_numeric(torch_state_dict_to_params(sd))
+
+
 def load_beats_model(ckpt_path: str | None = None, allow_random: bool = False,
                      seed: int = 0, use_gpu: bool = False) -> BEATsModel:
     """(reference: st_ito/utils.py:225-275 — downloads the iter3+ AS2M
@@ -163,13 +327,30 @@ def load_beats_model(ckpt_path: str | None = None, allow_random: bool = False,
     if ckpt_path and os.path.isfile(ckpt_path):
         import torch
 
-        from st_ito_tpu.models.convert import torch_state_dict_to_params
-
         ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
         sd = ckpt.get("model", ckpt)
-        return BEATsModel(params=torch_state_dict_to_params(sd))
+        cfg = BEATsConfig()
+        if "cfg" in ckpt:
+            c = ckpt["cfg"]
+            cfg = BEATsConfig(
+                embed_dim=c.get("embed_dim", 512),
+                encoder_embed_dim=c.get("encoder_embed_dim", 768),
+                depth=c.get("encoder_layers", 12),
+                heads=c.get("encoder_attention_heads", 12),
+                ffn_dim=c.get("encoder_ffn_embed_dim", 3072),
+                patch=c.get("input_patch_size", 16),
+                conv_pos=c.get("conv_pos", 128),
+                conv_pos_groups=c.get("conv_pos_groups", 16),
+                num_buckets=c.get("num_buckets", 320),
+                max_distance=c.get("max_distance", 800),
+                deep_norm=c.get("deep_norm", True),
+                gru_rel_pos=c.get("gru_rel_pos", True),
+            )
+        return BEATsModel(params=convert_beats_state_dict(sd, cfg), config=cfg,
+                          embed_dim=cfg.encoder_embed_dim)
     if allow_random:
-        return BEATsModel(params=init_beats_params(jax.random.PRNGKey(seed)))
+        return BEATsModel(params=init_beats_params(jax.random.PRNGKey(seed),
+                                                   BEATsConfig()))
     raise FileNotFoundError(
         "BEATs checkpoint not found; download BEATs_iter3_plus_AS2M.pt and "
         "pass ckpt_path, or use allow_random=True")

@@ -40,6 +40,18 @@ def torch_state_dict_to_params(state_dict: dict) -> dict:
     return params
 
 
+def listify_numeric(node):
+    """Recursively turn dicts whose keys are all decimal strings (torch
+    ModuleList entries like ``layers.0``) into ordered lists, matching the
+    init-time pytree structure of the JAX models."""
+    if isinstance(node, dict):
+        if node and all(k.isdigit() for k in node):
+            return [listify_numeric(node[k])
+                    for k in sorted(node, key=int)]
+        return {k: listify_numeric(v) for k, v in node.items()}
+    return node
+
+
 def strip_prefix(state_dict: dict, prefix: str = "encoder.") -> dict:
     out = {}
     for k, v in state_dict.items():
