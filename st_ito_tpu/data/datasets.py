@@ -6,8 +6,15 @@ Replaces the reference's tar/FLAC IterableDatasets + DataLoader worker pool
 - independent random crops of input and output (reference: :176-201)
 - per-side random gain 0..-32 dB (reference: :218-227)
 - random LR channel flip (reference: :230-232)
+- ``num_workers`` decodes shards in a thread pool feeding a bounded batch
+  queue — the analog of the reference's DataLoader ``num_workers`` +
+  ``tarfile_worker_init_fn`` (dataset_param.py:313-341); npz member reads
+  and f16->f32 conversion release the GIL, so workers overlap on multicore
+  hosts
+- crops are sliced from the stored float16 BEFORE widening to float32, so
+  decode bandwidth scales with the crop length, not the stored length
 - ``prefetch_batches`` overlaps host batch assembly with device compute via
-  a background thread (the DataLoader-worker equivalent).
+  a background thread.
 """
 
 from __future__ import annotations
@@ -34,6 +41,8 @@ class NpzShardDataset:
         random_gain: bool = True,
         random_flip: bool = True,
         independent_crops: bool = True,
+        num_workers: int = 0,
+        buffer_batches: int = 8,
     ):
         self.paths = sorted(glob.glob(os.path.join(shard_dir, "shard_*.npz")))
         if not self.paths:
@@ -45,71 +54,132 @@ class NpzShardDataset:
                 self.meta = json.load(f)
         self.length = length
         self.batch_size = batch_size
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.random_gain = random_gain
         self.random_flip = random_flip
         self.independent_crops = independent_crops
+        self.num_workers = num_workers
+        self.buffer_batches = buffer_batches
 
-    def _crop(self, x: np.ndarray) -> np.ndarray:
+    def _crop(self, x: np.ndarray, rng) -> np.ndarray:
+        """Random crop/pad of the LAST axis, slicing before any dtype
+        widening (x may be the stored float16)."""
         T = x.shape[-1]
         L = self.length
         if T == L:
-            return x
+            return np.asarray(x, np.float32)
         if T < L:
-            out = np.zeros(x.shape[:-1] + (L,), x.dtype)
+            out = np.zeros(x.shape[:-1] + (L,), np.float32)
             out[..., :T] = x
             return out
-        s = int(self.rng.integers(0, T - L))
-        return x[..., s:s + L]
+        s = int(rng.integers(0, T - L))
+        return np.asarray(x[..., s:s + L], np.float32)
 
-    def _augment(self, x: np.ndarray) -> np.ndarray:
+    def _augment(self, x: np.ndarray, rng) -> np.ndarray:
         if self.random_gain:
-            gain_db = -self.rng.random(x.shape[0]) * 32.0
-            x = x * (10 ** (gain_db / 20.0))[:, None, None]
+            gain_db = -rng.random(x.shape[0]) * 32.0
+            x = x * (10 ** (gain_db / 20.0))[:, None, None].astype(np.float32)
         if self.random_flip and x.shape[1] == 2:
-            flip = self.rng.random(x.shape[0]) < 0.5
+            flip = rng.random(x.shape[0]) < 0.5
             x[flip] = x[flip][:, ::-1, :]
         return x
 
-    def __iter__(self) -> Iterator[dict]:
-        order = self.rng.permutation(len(self.paths))
-        carry: dict | None = None
-        for pi in order:
-            with np.load(self.paths[pi]) as d:
-                inputs = d["inputs"].astype(np.float32)
-                outputs = d["outputs"].astype(np.float32)
-                inst = d["instance_index"]
-                pre = d["preset_index"]
-                tar = d["tar_index"]
-            perm = self.rng.permutation(len(inputs))
+    def _shard_batches(self, path: str, rng) -> Iterator[dict]:
+        """Decode one shard into full batches (the per-worker unit)."""
+        with np.load(path) as d:
+            inputs = d["inputs"]
+            outputs = d["outputs"]
+            inst = d["instance_index"]
+            pre = d["preset_index"]
+            tar = d["tar_index"]
+            perm = rng.permutation(len(inputs))
             inputs, outputs = inputs[perm], outputs[perm]
             inst, pre, tar = inst[perm], pre[perm], tar[perm]
 
             if self.independent_crops:
-                inputs = np.stack([self._crop(x) for x in inputs])
-                outputs = np.stack([self._crop(y) for y in outputs])
+                inputs = np.stack([self._crop(x, rng) for x in inputs])
+                outputs = np.stack([self._crop(y, rng) for y in outputs])
             else:
-                inputs = self._crop(inputs)
-                outputs = self._crop(outputs)
+                inputs = self._crop(inputs, rng)
+                outputs = self._crop(outputs, rng)
 
-            inputs = self._augment(inputs)
-            outputs = self._augment(outputs)
+        inputs = self._augment(inputs, rng)
+        outputs = self._augment(outputs, rng)
 
-            batch = {
-                "inputs": inputs, "outputs": outputs,
-                "instance_index": inst.astype(np.int32),
-                "preset_index": pre.astype(np.int32),
-                "tar_index": tar.astype(np.int32),
-            }
-            if carry is not None:
-                batch = {k: np.concatenate([carry[k], batch[k]]) for k in batch}
-                carry = None
-            n = len(batch["inputs"])
-            full = (n // self.batch_size) * self.batch_size
-            for s in range(0, full, self.batch_size):
-                yield {k: v[s:s + self.batch_size] for k, v in batch.items()}
-            if full < n:
-                carry = {k: v[full:] for k, v in batch.items()}
+        batch = {
+            "inputs": inputs, "outputs": outputs,
+            "instance_index": inst.astype(np.int32),
+            "preset_index": pre.astype(np.int32),
+            "tar_index": tar.astype(np.int32),
+        }
+        n = len(batch["inputs"])
+        full = (n // self.batch_size) * self.batch_size
+        for s in range(0, full, self.batch_size):
+            yield {k: v[s:s + self.batch_size] for k, v in batch.items()}
+        if full < n:
+            yield {k: v[full:] for k, v in batch.items()}  # partial (merged)
+
+    def _iter_sequential(self) -> Iterator[dict]:
+        order = self.rng.permutation(len(self.paths))
+        carry: dict | None = None
+        for pi in order:
+            for batch in self._shard_batches(self.paths[pi], self.rng):
+                if carry is not None:
+                    batch = {k: np.concatenate([carry[k], batch[k]])
+                             for k in batch}
+                    carry = None
+                n = len(batch["inputs"])
+                if n < self.batch_size:
+                    carry = batch
+                    continue
+                full = (n // self.batch_size) * self.batch_size
+                for s in range(0, full, self.batch_size):
+                    yield {k: v[s:s + self.batch_size]
+                           for k, v in batch.items()}
+                if full < n:
+                    carry = {k: v[full:] for k, v in batch.items()}
+
+    def _iter_parallel(self) -> Iterator[dict]:
+        """Thread-pool shard decoding (reference DataLoader-workers analog).
+        Each worker owns a seeded RNG; partial tail batches are dropped
+        (like drop_last)."""
+        path_q: queue.Queue = queue.Queue()
+        for pi in self.rng.permutation(len(self.paths)):
+            path_q.put(self.paths[pi])
+        out_q: queue.Queue = queue.Queue(maxsize=self.buffer_batches)
+        _DONE = object()
+
+        def worker(wid: int):
+            rng = np.random.default_rng(self.seed + 1000 * (wid + 1))
+            try:
+                while True:
+                    try:
+                        path = path_q.get_nowait()
+                    except queue.Empty:
+                        break
+                    for batch in self._shard_batches(path, rng):
+                        if len(batch["inputs"]) == self.batch_size:
+                            out_q.put(batch)
+            finally:
+                out_q.put(_DONE)
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        done = 0
+        while done < len(threads):
+            item = out_q.get()
+            if item is _DONE:
+                done += 1
+                continue
+            yield item
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.num_workers and self.num_workers > 1:
+            return self._iter_parallel()
+        return self._iter_sequential()
 
 
 class StyleShardDataset:
@@ -131,23 +201,24 @@ class StyleShardDataset:
         order = self.rng.permutation(len(self.paths))
         for pi in order:
             with np.load(self.paths[pi]) as d:
-                inputs = d["inputs"].astype(np.float32)
-                outputs = d["outputs"].astype(np.float32)
+                T = d["inputs"].shape[-1]
+                if T > self.length:
+                    s = int(self.rng.integers(0, T - self.length))
+                    sl = slice(s, s + self.length)
+                else:
+                    sl = slice(None)
+                inputs = np.asarray(d["inputs"][..., sl], np.float32)
+                outputs = np.asarray(d["outputs"][..., sl], np.float32)
                 params = d["params"].astype(np.float32)
             perm = self.rng.permutation(len(inputs))
             inputs, outputs, params = inputs[perm], outputs[perm], params[perm]
-            T = inputs.shape[-1]
-            if T > self.length:
-                s = int(self.rng.integers(0, T - self.length))
-                inputs = inputs[..., s:s + self.length]
-                outputs = outputs[..., s:s + self.length]
             for s in range(0, len(inputs) - self.batch_size + 1, self.batch_size):
-                sl = slice(s, s + self.batch_size)
-                batch = {"input_audio": inputs[sl], "target_params": params[sl]}
+                bsl = slice(s, s + self.batch_size)
+                batch = {"input_audio": inputs[bsl], "target_params": params[bsl]}
                 if self.input_only:
-                    batch["target_audio"] = inputs[sl]  # placeholder, rendered on the fly
+                    batch["target_audio"] = inputs[bsl]  # rendered on the fly
                 else:
-                    batch["target_audio"] = outputs[sl]
+                    batch["target_audio"] = outputs[bsl]
                 yield batch
 
 
