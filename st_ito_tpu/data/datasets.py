@@ -44,7 +44,9 @@ class NpzShardDataset:
         num_workers: int = 0,
         buffer_batches: int = 8,
     ):
-        self.paths = sorted(glob.glob(os.path.join(shard_dir, "shard_*.npz")))
+        self.paths = sorted(
+            p for p in glob.glob(os.path.join(shard_dir, "shard_*.npz"))
+            if not p.endswith("_logits.npz"))
         if not self.paths:
             raise FileNotFoundError(f"no shards in {shard_dir}")
         index_path = os.path.join(shard_dir, "index.json")
@@ -96,13 +98,20 @@ class NpzShardDataset:
             perm = rng.permutation(len(inputs))
             inputs, outputs = inputs[perm], outputs[perm]
             inst, pre, tar = inst[perm], pre[perm], tar[perm]
+        # precomputed AST logits for the adversarial "classifier" mode
+        # (scripts/label_audio.py; reference: dataset_param.py:88-93)
+        logits = None
+        logits_path = path[:-4] + "_logits.npz"
+        if os.path.isfile(logits_path):
+            with np.load(logits_path) as dl:
+                logits = dl["logits"][perm].astype(np.float32)
 
-            if self.independent_crops:
-                inputs = np.stack([self._crop(x, rng) for x in inputs])
-                outputs = np.stack([self._crop(y, rng) for y in outputs])
-            else:
-                inputs = self._crop(inputs, rng)
-                outputs = self._crop(outputs, rng)
+        if self.independent_crops:
+            inputs = np.stack([self._crop(x, rng) for x in inputs])
+            outputs = np.stack([self._crop(y, rng) for y in outputs])
+        else:
+            inputs = self._crop(inputs, rng)
+            outputs = self._crop(outputs, rng)
 
         inputs = self._augment(inputs, rng)
         outputs = self._augment(outputs, rng)
@@ -113,6 +122,8 @@ class NpzShardDataset:
             "preset_index": pre.astype(np.int32),
             "tar_index": tar.astype(np.int32),
         }
+        if logits is not None:
+            batch["content_logits"] = logits
         n = len(batch["inputs"])
         full = (n // self.batch_size) * self.batch_size
         for s in range(0, full, self.batch_size):

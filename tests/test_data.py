@@ -74,3 +74,37 @@ def test_style_datagen_and_dataset(tmp_path):
 def test_prefetch():
     items = list(prefetch_batches(iter(range(10)), buffer_size=3))
     assert items == list(range(10))
+
+
+def test_pretext_dataset_workers_and_logits(tmp_path):
+    """Thread-pool shard decoding yields the same example set, and sibling
+    logits files flow through as content_logits (scripts/label_audio.py)."""
+    bank = sample_preset_bank(["distortion", "compressor"], num_presets=2,
+                              probe_len=16384, seed=0)
+    out_dir = str(tmp_path / "pretext")
+    paths = generate_pretext_dataset(
+        _sources(), bank, out_dir, num_examples=24, length=32768,
+        examples_per_shard=8, seed=0,
+    )
+    # sibling logits: shard_XXX_logits.npz with (N, C)
+    for p in paths:
+        with np.load(p) as d:
+            n = len(d["inputs"])
+        np.savez(p[:-4] + "_logits.npz",
+                 logits=RNG.standard_normal((n, 5)).astype(np.float32))
+
+    ds0 = NpzShardDataset(out_dir, length=16384, batch_size=4, seed=0)
+    seq = list(ds0)
+    assert all("content_logits" in b for b in seq)
+    assert seq[0]["content_logits"].shape == (4, 5)
+
+    ds2 = NpzShardDataset(out_dir, length=16384, batch_size=4, seed=0,
+                          num_workers=2)
+    par = list(ds2)
+    assert len(par) == len(seq)  # 24 examples -> 6 full batches either way
+    # same multiset of examples (match by instance/preset indices)
+    key = lambda b: sorted(zip(b["instance_index"].tolist(),
+                               b["preset_index"].tolist()))
+    all_seq = sorted(sum((key(b) for b in seq), []))
+    all_par = sorted(sum((key(b) for b in par), []))
+    assert all_seq == all_par
