@@ -88,26 +88,44 @@ def _cmatmul(ar, ai, mats, precision):
     return t1 - t2, t3 - t1 - t2
 
 
-def _fft_rec(zr, zi, sign: int, prec):
+def _fft_rec(zr, zi, n: int, sign: int, prec, out_limit: int | None = None):
     """Recursive mixed-radix DFT over the last axis. Each level splits
     n = r * m: a radix-r DFT matmul over the outer digit, the n-point
-    twiddle, then recursion on m — every contraction stays MXU-tile-sized
-    (<= 128), so a 2^19 transform is radices [128, 32, 128] instead of one
-    [1024, 512] pair (~5x fewer matmul FLOPs)."""
-    n = zr.shape[-1]
+    twiddle, then recursion on m. Radices stay near sqrt(n) so every
+    contraction is whole MXU tiles.
+
+    The inputs may be SHORTER than n (implicit zero padding — the
+    convolution guard band): the stage-1 contraction then only uses the
+    nonzero rows of the DFT matrix, halving its FLOPs for a 2x guard.
+    ``out_limit`` (a multiple of the stage-1 radix, or None) keeps only the
+    first outputs — the inverse transform of a convolution only needs the
+    first T samples, which halves the inner-level matmul columns.
+    """
+    in_len = zr.shape[-1]
     if n <= _MAX_DIRECT:
-        return _cmatmul(zr, zi, _dft_mats(n, sign), prec)
+        c, s, cs = _dft_mats(n, sign)
+        if in_len < n:
+            c, s, cs = c[:in_len], s[:in_len], cs[:in_len]
+        if out_limit is not None and out_limit < n:
+            c, s, cs = c[:, :out_limit], s[:, :out_limit], cs[:, :out_limit]
+        return _cmatmul(zr, zi, (c, s, cs), prec)
     r = _radix(n)
     m = n // r
     lead = zr.shape[:-1]
 
-    ar = zr.reshape(-1, r, m)
-    ai = zi.reshape(-1, r, m)
+    r_used = -(-in_len // m)  # ceil: outer digits with any nonzero input
+    if r_used * m != in_len:
+        pad = [(0, 0)] * (zr.ndim - 1) + [(0, r_used * m - in_len)]
+        zr, zi = jnp.pad(zr, pad), jnp.pad(zi, pad)
+    ar = zr.reshape(-1, r_used, m)
+    ai = zi.reshape(-1, r_used, m)
     # radix-r DFT over the outer digit j1 (transpose + matmul)
     ar = jnp.swapaxes(ar, -1, -2)  # (B, j2, j1)
     ai = jnp.swapaxes(ai, -1, -2)
-    W1 = _dft_mats(r, sign)
-    br, bi = _cmatmul(ar, ai, W1, prec)  # (B, j2, k1)
+    c, s, cs = _dft_mats(r, sign)
+    if r_used < r:
+        c, s, cs = c[:r_used], s[:r_used], cs[:r_used]
+    br, bi = _cmatmul(ar, ai, (c, s, cs), prec)  # (B, j2, k1)
 
     # twiddle W_n^(k1*j2), laid out (j2, k1)
     tc, ts = _twiddle(r, m, sign)
@@ -117,25 +135,41 @@ def _fft_rec(zr, zi, sign: int, prec):
     # recurse on the inner digit: (B, k1, j2) with m on the last axis
     cr = jnp.swapaxes(cr, -1, -2)
     ci = jnp.swapaxes(ci, -1, -2)
-    dr, di = _fft_rec(cr, ci, sign, prec)  # (B, k1, k2) natural over m
+    m_out = None
+    if out_limit is not None and out_limit < n:
+        m_out = out_limit // r  # X[k2*r + k1] < out_limit  <=>  k2 < this
+    dr, di = _fft_rec(cr, ci, m, sign, prec, out_limit=m_out)
+    m_kept = dr.shape[-1]
 
     # natural order: X[k2*r + k1] -> transpose to (k2, k1)
-    dr = jnp.swapaxes(dr, -1, -2).reshape(*lead, n)
-    di = jnp.swapaxes(di, -1, -2).reshape(*lead, n)
+    dr = jnp.swapaxes(dr, -1, -2).reshape(*lead, m_kept * r)
+    di = jnp.swapaxes(di, -1, -2).reshape(*lead, m_kept * r)
     return dr, di
 
 
-@partial(jax.jit, static_argnames=("sign", "precision"))
+@partial(jax.jit, static_argnames=("n", "sign", "precision", "out_len"))
 def fft_mx(zr: jnp.ndarray, zi: jnp.ndarray, sign: int = -1,
-           precision: str = "high"):
+           precision: str = "high", n: int | None = None,
+           out_len: int | None = None):
     """Batched complex DFT over the last axis via MXU matmul stages.
 
-    zr/zi: (..., n) float32, n a power of two (n >= 4). sign=-1 forward,
-    sign=+1 inverse WITHOUT the 1/n scale (caller applies it; this keeps
-    the function self-inverse-friendly under fusion).
+    zr/zi: (..., in_len) float32 with in_len <= n (shorter inputs are an
+    implicit zero pad — cheaper than materializing it); n a power of two.
+    sign=-1 forward, sign=+1 inverse WITHOUT the 1/n scale (caller applies
+    it). ``out_len`` returns only the first outputs (rounded up to the
+    stage radix internally, then sliced).
     Returns (real, imag) in natural frequency order.
     """
-    return _fft_rec(zr, zi, sign, _PRECISIONS[precision])
+    n = n or zr.shape[-1]
+    out_limit = None
+    if out_len is not None and out_len < n:
+        r = _radix(n) if n > _MAX_DIRECT else n
+        out_limit = min(-(-out_len // r) * r, n)
+    dr, di = _fft_rec(zr, zi, n, sign, _PRECISIONS[precision],
+                      out_limit=out_limit)
+    if out_len is not None and dr.shape[-1] > out_len:
+        dr, di = dr[..., :out_len], di[..., :out_len]
+    return dr, di
 
 
 def hermitian_extend(H: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -199,17 +233,17 @@ def packed_lti_apply(x: jnp.ndarray, kind: str, H, n: int,
     responses H1, H2: Y = ((H1+H2)/2)*Z + ((H1-H2)/2)*conj(Zrev).
     """
     B, C, T = x.shape
+    # the guard band to n is an IMPLICIT zero pad: fft_mx skips the zero
+    # rows of its first DFT stage instead of transforming them
     if C == 2:
-        zr = jnp.pad(x[:, 0, :], ((0, 0), (0, n - T)))
-        zi = jnp.pad(x[:, 1, :], ((0, 0), (0, n - T)))
+        zr, zi = x[:, 0, :], x[:, 1, :]
     else:
         Bp = B + (B % 2)
         if Bp != B:
             x = jnp.pad(x, ((0, 1), (0, 0), (0, 0)))
-        zr = jnp.pad(x[0::2, 0, :], ((0, 0), (0, n - T)))
-        zi = jnp.pad(x[1::2, 0, :], ((0, 0), (0, n - T)))
+        zr, zi = x[0::2, 0, :], x[1::2, 0, :]
 
-    Zr, Zi = fft_mx(zr, zi, sign=-1, precision=precision)
+    Zr, Zi = fft_mx(zr, zi, sign=-1, precision=precision, n=n)
 
     ones = jnp.ones((1, n // 2 + 1), jnp.complex64)  # broadcast (B,1)->(B,F)
     if C == 2 and kind == "scalar":
@@ -237,10 +271,12 @@ def packed_lti_apply(x: jnp.ndarray, kind: str, H, n: int,
         Pc, Qc = P, Q  # both hermitian
     Yr, Yi = _apply_packed_response(Zr, Zi, P, Q, Pc, Qc, n)
 
-    yr, yi = fft_mx(Yr, Yi, sign=1, precision=precision)
+    # inverse only needs the first T samples: the inner DFT level drops the
+    # unused output columns
+    yr, yi = fft_mx(Yr, Yi, sign=1, precision=precision, out_len=T)
     scale = 1.0 / n
     if C == 2:
-        return jnp.stack([yr[:, :T] * scale, yi[:, :T] * scale], axis=1)
-    y = jnp.stack([yr[:, :T] * scale, yi[:, :T] * scale], axis=1)
+        return jnp.stack([yr * scale, yi * scale], axis=1)
+    y = jnp.stack([yr * scale, yi * scale], axis=1)
     y = y.reshape(-1, 1, T)[:B]
     return y

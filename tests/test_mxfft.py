@@ -125,3 +125,30 @@ def test_batched_render_mx_matches_xla():
     rel = err / np.maximum(ref, 1e-8)
     assert (rel < 0.05).all(), rel
     assert np.median(rel) < 1e-3, rel
+
+
+def test_fft_mx_implicit_zero_pad():
+    """Short input == explicit zero pad (the convolution guard band)."""
+    n, T = 4096, 1700
+    z = RNG.standard_normal((2, T)).astype(np.float32)
+    zr = jnp.asarray(z)
+    zi = jnp.zeros_like(zr)
+    Xr, Xi = fft_mx(zr, zi, sign=-1, precision="highest", n=n)
+    ref = np.fft.fft(np.pad(z, ((0, 0), (0, n - T))).astype(np.complex64))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(Xr), ref.real, atol=3e-4 * scale)
+    np.testing.assert_allclose(np.asarray(Xi), ref.imag, atol=3e-4 * scale)
+
+
+def test_fft_mx_truncated_output():
+    """out_len keeps exactly the leading outputs."""
+    n, keep = 4096, 1500
+    z = RNG.standard_normal((2, n)) + 1j * RNG.standard_normal((2, n))
+    zr = jnp.asarray(z.real, jnp.float32)
+    zi = jnp.asarray(z.imag, jnp.float32)
+    Xr, Xi = fft_mx(zr, zi, sign=-1, precision="highest", out_len=keep)
+    assert Xr.shape == (2, keep)
+    ref = np.fft.fft(z.astype(np.complex64))[:, :keep]
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(Xr), ref.real, atol=3e-4 * scale)
+    np.testing.assert_allclose(np.asarray(Xi), ref.imag, atol=3e-4 * scale)
