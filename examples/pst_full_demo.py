@@ -23,7 +23,9 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root (uninstalled runs)
 from train_demo import synth_sources  # noqa: E402
 
 
@@ -70,8 +72,12 @@ def get_or_train_encoder(out_dir, sources, steps):
 
 
 def train_style_system(chain, loss_type, sources, steps, batch_size=4,
-                       T=131072, seed=0):
-    """On-the-fly style system training on the benchmark chain."""
+                       T=131072, seed=0, cache_path=None):
+    """On-the-fly style system training on the benchmark chain. The trained
+    params are cached so a resumed demo run skips straight to the
+    benchmark."""
+    import pickle
+
     import jax
     import jax.numpy as jnp
 
@@ -85,6 +91,11 @@ def train_style_system(chain, loss_type, sources, steps, batch_size=4,
     )
     system = StyleTransferSystem(cfg, chain=chain)
     state = system.init(jax.random.PRNGKey(seed))
+    if cache_path and os.path.isfile(cache_path):
+        with open(cache_path, "rb") as f:
+            state = state.replace(params=pickle.load(f))
+        print(f"  [{loss_type}] loaded cached params from {cache_path}")
+        return system, state
     step_fn = system.make_train_step()
     rng = jax.random.PRNGKey(seed + 1)
     np_rng = np.random.default_rng(seed)
@@ -96,7 +107,10 @@ def train_style_system(chain, loss_type, sources, steps, batch_size=4,
         state, metrics = step_fn(state, batch, sub)
         if i % 50 == 0:
             print(f"  [{loss_type}] step {i}: "
-                  f"loss {float(metrics['loss']):.4f}")
+                  f"loss {float(metrics['loss']):.4f}", flush=True)
+    if cache_path:
+        with open(cache_path, "wb") as f:
+            pickle.dump(jax.device_get(state.params), f)
     return system, state
 
 
@@ -134,12 +148,14 @@ def main():
     chain = benchmark_chain("general")
 
     # 2. learned-inference baselines on the same chain
-    print("training deepafx-st (parameter-regression)...")
-    sys_reg = train_style_system(chain, "parameter-regression", sources[20:],
-                                 args.style_steps, seed=1)
-    print("training deepafx-st+ (audio loss)...")
-    sys_audio = train_style_system(chain, "audio", sources[20:],
-                                   args.style_steps, seed=2)
+    print("training deepafx-st (parameter-regression)...", flush=True)
+    sys_reg = train_style_system(
+        chain, "parameter-regression", sources[20:], args.style_steps,
+        seed=1, cache_path=os.path.join(args.out, "style_reg.pkl"))
+    print("training deepafx-st+ (audio loss)...", flush=True)
+    sys_audio = train_style_system(
+        chain, "audio", sources[20:], args.style_steps,
+        seed=2, cache_path=os.path.join(args.out, "style_audio.pkl"))
 
     methods = default_methods(
         chain, model, get_param_embeds, popsize=args.popsize,
@@ -152,14 +168,14 @@ def main():
     }
 
     # 3. two contrived modes (tonal "music" vs percussive/noise "mixed")
-    tonal = [s for i, s in enumerate(sources[:12]) if i % 4 in (0, 1)][:3]
-    perc = [s for i, s in enumerate(sources[:12]) if i % 4 in (2, 3)][:3]
+    tonal = [s for i, s in enumerate(sources[:12]) if i % 4 in (0, 1)][:2]
+    perc = [s for i, s in enumerate(sources[:12]) if i % 4 in (2, 3)][:2]
     all_results = {}
     for mode, srcs in (("music", tonal), ("mixed", perc)):
         examples = synthesize_contrived_examples(
             [s[..., :131072] for s in srcs])
         print(f"mode {mode}: {len(examples)} examples x "
-              f"{len(methods)} methods")
+              f"{len(methods)} methods", flush=True)
         res = run_pst_benchmark(
             examples, methods, metrics,
             output_dir=os.path.join(args.out, mode))

@@ -756,6 +756,12 @@ def run_random(input_audio, target_audio, sample_rate, chain: ChainSpec,
     }
 
 
+# jitted forwards per system — a benchmark sweep calls the method once per
+# example and must not recompile each time (same policy as _FITNESS_CACHE;
+# the value pins the system so the id cannot alias a new object)
+_LEARNED_CACHE: dict = {}
+
+
 def run_learned_inference(
     input_audio,
     target_audio,
@@ -776,7 +782,12 @@ def run_learned_inference(
     y = target_audio
     if y.shape[1] == 1:
         y = jnp.concatenate([y, y], axis=1)
-    fwd = jax.jit(lambda p, a, b: system.forward(p, a, b, render_audio=True))
+    entry = _LEARNED_CACHE.get(id(system))
+    if entry is None:
+        fwd = jax.jit(
+            lambda p, a, b: system.forward(p, a, b, render_audio=True))
+        _LEARNED_CACHE[id(system)] = entry = (fwd, system)
+    fwd = entry[0]
     output_audio, w, _ = fwd(state.params, x, y)
     result = {
         "output_audio": output_audio,
