@@ -93,7 +93,8 @@ def train_style_system(chain, loss_type, sources, steps, batch_size=4,
     state = system.init(jax.random.PRNGKey(seed))
     if cache_path and os.path.isfile(cache_path):
         with open(cache_path, "rb") as f:
-            state = state.replace(params=pickle.load(f))
+            loaded = jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+        state = state.replace(params=loaded)
         print(f"  [{loss_type}] loaded cached params from {cache_path}")
         return system, state
     step_fn = system.make_train_step()

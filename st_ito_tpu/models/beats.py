@@ -346,7 +346,9 @@ def load_beats_model(ckpt_path: str | None = None, allow_random: bool = False,
                 deep_norm=c.get("deep_norm", True),
                 gru_rel_pos=c.get("gru_rel_pos", True),
             )
-        return BEATsModel(params=convert_beats_state_dict(sd, cfg), config=cfg,
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_beats_state_dict(sd, cfg))
+        return BEATsModel(params=params, config=cfg,
                           embed_dim=cfg.encoder_embed_dim)
     if allow_random:
         return BEATsModel(params=init_beats_params(jax.random.PRNGKey(seed),

@@ -252,6 +252,7 @@ def load_fx_encoder_model(ckpt_path: str | None = None,
             for k, v in sd.items()
         }
         params = listify_numeric(torch_state_dict_to_params(sd))
+        params = jax.tree_util.tree_map(jnp.asarray, params)
         return FXEncoderModel(params=params)
     if allow_random:
         return FXEncoderModel(

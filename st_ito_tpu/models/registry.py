@@ -93,6 +93,10 @@ def load_param_model(
                 for p in parts[:-1]:
                     node = node.setdefault(p, {})
                 node[parts[-1]] = data[key]
+            # device-resident once at load: numpy leaves would re-upload
+            # the whole encoder through the jit boundary on EVERY fitness
+            # call (measured ~12 s/generation through the tunneled relay)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
             return ParamModel(params=params, config=config,
                               embed_dim=config.embed_dim)
         params, config = _convert.load_torch_checkpoint(path)
@@ -101,6 +105,7 @@ def load_param_model(
             _convert.save_params_npz(params, npz_path)
         except OSError:
             pass
+        params = jax.tree_util.tree_map(jnp.asarray, params)
         return ParamModel(params=params, config=config, embed_dim=config.embed_dim)
 
     if allow_random:
