@@ -154,6 +154,27 @@ def compressor(
     (inference paths; not differentiable).
     """
     eps = 1e-8
+    alpha_a_ = _time_constant_alpha(attack_ms, sample_rate)
+    alpha_r_ = _time_constant_alpha(release_ms, sample_rate)
+    if (fast and not link_channels and lookahead_samples == 0
+            and not exact_ballistics and jax.default_backend() == "tpu"):
+        # entire compressor fused into one Pallas pass (unlinked channels:
+        # the detector is purely per-lane) — saves ~5 HBM round trips of
+        # the population signal vs the op-by-op form below
+        from st_ito_tpu.ops.pallas.scan import compressor_fused_pallas
+
+        lead = x.shape[:-1]
+
+        def to_lead(v):
+            v = jnp.asarray(v, jnp.float32)
+            while v.ndim > len(lead):  # drop broadcast T axes like (B,1,1)
+                v = v[..., 0]
+            return jnp.broadcast_to(v, lead)
+
+        return compressor_fused_pallas(
+            x, to_lead(threshold_db), to_lead(ratio), to_lead(knee_db),
+            to_lead(alpha_a_), to_lead(alpha_r_), to_lead(makeup_gain_db),
+        )
     if link_channels:
         env = jnp.max(jnp.abs(x), axis=-2, keepdims=True)  # (..., 1, T)
     else:
@@ -162,8 +183,7 @@ def compressor(
 
     gr_db = gain_computer(env_db, threshold_db, ratio, knee_db)
 
-    alpha_a = _time_constant_alpha(attack_ms, sample_rate)
-    alpha_r = _time_constant_alpha(release_ms, sample_rate)
+    alpha_a, alpha_r = alpha_a_, alpha_r_
     if exact_ballistics:
         gr_smooth = ballistics_scan(gr_db, alpha_a, alpha_r)
     else:

@@ -117,3 +117,33 @@ def test_compressor_lookahead_shapes():
     y = compressor(x, SR, lookahead_samples=512)
     assert y.shape == x.shape
     assert bool(jnp.isfinite(y).all())
+
+
+def test_fused_compressor_kernel_matches_unfused():
+    """The fully fused Pallas compressor (interpret mode) must match the
+    op-by-op XLA form bit-closely."""
+    from st_ito_tpu.ops.dynamics import (
+        _time_constant_alpha,
+        compressor,
+    )
+    from st_ito_tpu.ops.pallas.scan import compressor_fused_pallas
+
+    rng = np.random.default_rng(3)
+    B, C, T = 3, 2, 4096
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32) * 0.5)
+    th = jnp.asarray(rng.uniform(-40, -5, (B, 1)).astype(np.float32))
+    ratio = jnp.asarray(rng.uniform(1.5, 10, (B, 1)).astype(np.float32))
+    sr = 48000.0
+
+    ref = compressor(x, sr, threshold_db=th[..., None], ratio=ratio[..., None],
+                     attack_ms=5.0, release_ms=80.0, knee_db=0.5,
+                     link_channels=False)
+    aa = _time_constant_alpha(5.0, sr)
+    ar = _time_constant_alpha(80.0, sr)
+    lead = (B, C)
+    fused = compressor_fused_pallas(
+        x, jnp.broadcast_to(th, lead), jnp.broadcast_to(ratio, lead),
+        jnp.full(lead, 0.5), jnp.full(lead, aa), jnp.full(lead, ar),
+        jnp.zeros(lead), interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
