@@ -64,6 +64,18 @@ def _synth_examples(chain, sr=48000, T=262144, n=2):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--examples-dir", type=str, default=None)
+    parser.add_argument("--dataset-type", type=str, default=None,
+                        choices=["real", "contrived"],
+                        help="load the reference benchmark's curated example "
+                             "sets from --root-dir (eval/pst_examples.py)")
+    parser.add_argument("--mode", type=str, default="music",
+                        choices=["speech", "guitar", "vocals", "music"])
+    parser.add_argument("--root-dir", type=str, default=None,
+                        help="benchmark dataset root (scripts/"
+                             "benchmark_download.py builds the real set)")
+    parser.add_argument("--all-examples", action="store_true",
+                        help="all 10 curated pairs, not just the benchmark's "
+                             "4 active indices")
     parser.add_argument("--chain", type=str, default="general",
                         choices=["general", "simple", "speech", "mastering",
                                  "vocals", "guitar", "basic"])
@@ -89,8 +101,19 @@ def main(argv=None):
         load_fn, embed_fn = METRICS[name]
         metrics[name] = ((model if name == "param" else load_fn()), embed_fn)
 
-    examples = (_load_examples(args.examples_dir) if args.examples_dir
-                else _synth_examples(chain))
+    if args.dataset_type == "real":
+        from st_ito_tpu.eval.pst_examples import load_real_examples
+
+        examples = load_real_examples(args.root_dir, args.mode,
+                                      all_examples=args.all_examples)
+    elif args.dataset_type == "contrived":
+        from st_ito_tpu.eval.pst_examples import load_contrived_examples
+
+        examples = load_contrived_examples(args.root_dir, args.mode)
+    elif args.examples_dir:
+        examples = _load_examples(args.examples_dir)
+    else:
+        examples = _synth_examples(chain)
     methods = default_methods(chain, model, get_param_embeds,
                               popsize=args.popsize, max_iters=args.max_iters)
     results = run_pst_benchmark(examples, methods, metrics,
