@@ -96,3 +96,17 @@ def test_encoder_export_interop(tmp_path):
     x = jnp.asarray(RNG.standard_normal((1, 2, 48000)).astype(np.float32))
     e = get_param_embeds(x, model, SR)
     assert e["mid"].shape == (1, 16)
+
+def test_loaded_model_params_are_device_arrays(tmp_path):
+    """npz-loaded model pytrees must hold jax Arrays, not numpy: numpy
+    leaves re-upload the whole encoder through the jit boundary on every
+    fitness call (measured ~12 s/generation through the tunneled relay)."""
+    cfg = Cnn14Config(embed_dim=16, base_channels=4)
+    from st_ito_tpu.models.cnn14 import init_cnn14_params
+
+    params = init_cnn14_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "enc.npz")
+    export_encoder_npz(params, path, config=cfg)
+    model = load_param_model(path)
+    leaves = jax.tree_util.tree_leaves(model.params)
+    assert all(isinstance(leaf, jax.Array) for leaf in leaves)
