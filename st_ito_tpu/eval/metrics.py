@@ -44,6 +44,18 @@ def _get_beats_embeds(x, model, sample_rate, **kw):
     return get_beats_embeds(x, model, sample_rate, **kw)
 
 
+def _load_wav2vec2():
+    from st_ito_tpu.models.registry import load_wav2vec2_model
+
+    return load_wav2vec2_model()
+
+
+def _get_wav2vec2_embeds(x, model, sample_rate, **kw):
+    from st_ito_tpu.models.registry import get_wav2vec2_embeds
+
+    return get_wav2vec2_embeds(x, model, sample_rate, **kw)
+
+
 def _load_clap():
     from st_ito_tpu.models.registry import load_clap_model
 
@@ -64,6 +76,7 @@ METRICS = {
     "clap": (_load_clap, _get_clap_embeds),
     "fx-encoder": (_load_fx_encoder, _get_fx_encoder_embeds),
     "beats": (_load_beats, _get_beats_embeds),
+    "wav2vec2": (_load_wav2vec2, _get_wav2vec2_embeds),
 }
 
 
