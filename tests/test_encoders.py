@@ -173,3 +173,44 @@ def test_beats_encoder():
         np.linalg.norm(np.asarray(e["mono"]), axis=-1), 1.0, atol=1e-4)
     with pytest.raises(FileNotFoundError):
         load_beats_model()
+
+
+def test_clap_encoder_forward_and_train_step():
+    """CLAP-style pretext encoder: mid/side through the HTS-AT tower +
+    projection (reference: st_ito/models/clap.py:6-42,
+    cfg/model/pretext/param-clap-ft-concat-l2.yaml)."""
+    from st_ito_tpu.models.clap import CLAPAudioConfig
+    from st_ito_tpu.models.htsat import HTSATConfig
+    from st_ito_tpu.train import (
+        ParamEstimatorConfig,
+        init_param_estimator,
+        make_param_train_step,
+    )
+
+    tower = HTSATConfig(embed_dim=24, dim=16, depths=(1, 1, 1, 1),
+                        heads=(2, 2, 4, 4), num_frames=64)
+    cfg = ParamEstimatorConfig(
+        encoder=CLAPAudioConfig(embed_dim=16, tower=tower),
+        encoder_type="clap", num_instances=3, num_presets=0, lr=1e-3,
+    )
+    state = init_param_estimator(jax.random.PRNGKey(0), cfg)
+
+    # mid/side produce distinct embeddings for stereo input
+    from st_ito_tpu.models.clap import clap_audio_apply
+
+    x = jnp.asarray(RNG.standard_normal((2, 2, 65536)).astype(np.float32) * 0.3)
+    mid, side = clap_audio_apply(state.params["encoder"], x, cfg.encoder)
+    assert mid.shape == (2, 16) and side.shape == (2, 16)
+    assert not np.allclose(np.asarray(mid), np.asarray(side))
+
+    step = make_param_train_step(cfg)
+    batch = {
+        "inputs": x,
+        "outputs": jnp.asarray(
+            RNG.standard_normal((2, 2, 65536)).astype(np.float32) * 0.3),
+        "instance_index": jnp.asarray(RNG.integers(0, 3, 2), jnp.int32),
+        "preset_index": jnp.zeros(2, jnp.int32),
+        "tar_index": jnp.zeros(2, jnp.int32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
