@@ -58,6 +58,7 @@ class NpzShardDataset:
         self.batch_size = batch_size
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._epoch = 0  # mixed into parallel worker seeds per __iter__
         self.random_gain = random_gain
         self.random_flip = random_flip
         self.independent_crops = independent_crops
@@ -137,8 +138,12 @@ class NpzShardDataset:
         for pi in order:
             for batch in self._shard_batches(self.paths[pi], self.rng):
                 if carry is not None:
+                    # merge only keys present on BOTH sides: a shard dir
+                    # with partially-present *_logits.npz siblings must
+                    # degrade to label-free batches, not KeyError or
+                    # misaligned content_logits rows
                     batch = {k: np.concatenate([carry[k], batch[k]])
-                             for k in batch}
+                             for k in batch if k in carry}
                     carry = None
                 n = len(batch["inputs"])
                 if n < self.batch_size:
@@ -160,9 +165,11 @@ class NpzShardDataset:
             path_q.put(self.paths[pi])
         out_q: queue.Queue = queue.Queue(maxsize=self.buffer_batches)
         _DONE = object()
+        self._epoch += 1
+        epoch = self._epoch  # fresh crops/gains/flips every epoch
 
         def worker(wid: int):
-            rng = np.random.default_rng(self.seed + 1000 * (wid + 1))
+            rng = np.random.default_rng([self.seed, epoch, wid])
             try:
                 while True:
                     try:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 from typing import Callable
 
 import numpy as np
@@ -159,6 +160,16 @@ def make_fitness_fn(
     # structure for these metrics (style_transfer.py:541-571 with a torch
     # model).
     if getattr(embed_func, "host_side", False):
+        # the host path scores style similarity only — refuse configs whose
+        # terms it would otherwise drop silently
+        if content_model is not None:
+            raise ValueError(
+                "host-side metric backends do not support a content model; "
+                "use an on-device style metric or drop content_model")
+        if dropout > 0.0:
+            warnings.warn(
+                "embedding dropout is ignored by host-side metric backends",
+                stacklevel=2)
         render_j = jax.jit(render)
 
         def host_fitness(W, x, target_embeds, target_content_embeds, rng):

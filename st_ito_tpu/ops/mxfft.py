@@ -137,7 +137,12 @@ def _fft_rec(zr, zi, n: int, sign: int, prec, out_limit: int | None = None):
     ci = jnp.swapaxes(ci, -1, -2)
     m_out = None
     if out_limit is not None and out_limit < n:
-        m_out = out_limit // r  # X[k2*r + k1] < out_limit  <=>  k2 < this
+        # X[k2*r + k1] < out_limit needs every k2 <= (out_limit-1)//r, i.e.
+        # ceil(out_limit/r) inner outputs. Flooring here silently DROPPED
+        # tail outputs once the recursion is >= 2 levels deep (n > 2^22):
+        # the kept count shrank at each level and the caller's final slice
+        # could not restore samples that were never computed.
+        m_out = -(-out_limit // r)
     dr, di = _fft_rec(cr, ci, m, sign, prec, out_limit=m_out)
     m_kept = dr.shape[-1]
 

@@ -90,6 +90,26 @@ def test_packed_mono_pairs_matches_dense(B):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-3)
 
 
+def test_fft_mx_truncated_output_deep_recursion(monkeypatch):
+    """out_len survives >=2 recursion levels (advisor r2 finding: flooring
+    out_limit against the inner radix silently dropped tail outputs — e.g.
+    out_len=700 returned 512 samples at n >= 2^24). Shrinking _MAX_DIRECT
+    forces the same multi-level recursion at unit-test sizes."""
+    import st_ito_tpu.ops.mxfft as mod
+
+    monkeypatch.setattr(mod, "_MAX_DIRECT", 16)
+    n, keep = 1024, 100  # radix 32 -> inner n=32 recurses again (radix 8)
+    z = RNG.standard_normal((2, n)) + 1j * RNG.standard_normal((2, n))
+    zr = jnp.asarray(z.real, jnp.float32)
+    zi = jnp.asarray(z.imag, jnp.float32)
+    Xr, Xi = fft_mx(zr, zi, sign=-1, precision="highest", out_len=keep)
+    assert Xr.shape == (2, keep)
+    ref = np.fft.fft(z.astype(np.complex64))[:, :keep]
+    scale = np.abs(np.fft.fft(z)).max()
+    np.testing.assert_allclose(np.asarray(Xr), ref.real, atol=3e-4 * scale)
+    np.testing.assert_allclose(np.asarray(Xi), ref.imag, atol=3e-4 * scale)
+
+
 def test_hermitian_extend_matches_real_ir():
     n = 256
     ir = RNG.standard_normal((2, n)).astype(np.float32)
