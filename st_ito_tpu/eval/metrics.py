@@ -68,15 +68,41 @@ def _get_clap_embeds(x, model, sample_rate, **kw):
     return get_clap_embeds(x, model, sample_rate, **kw)
 
 
+def _load_wav2clip():
+    from st_ito_tpu.models.registry import load_wav2clip_model
+
+    return load_wav2clip_model()
+
+
+def _get_wav2clip_embeds(x, model, sample_rate, **kw):
+    from st_ito_tpu.models.registry import get_wav2clip_embeds
+
+    return get_wav2clip_embeds(x, model, sample_rate, **kw)
+
+
+def _load_vggish():
+    from st_ito_tpu.models.registry import load_vggish_model
+
+    return load_vggish_model()
+
+
+def _get_vggish_embeds(x, model, sample_rate, **kw):
+    from st_ito_tpu.models.registry import get_vggish_embeds
+
+    return get_vggish_embeds(x, model, sample_rate, **kw)
+
+
 METRICS = {
     "param": (load_param_model, get_param_embeds),
     "mfcc": (load_mfcc_feature_extractor, get_mfcc_feature_embeds),
     "mir": (load_mir_feature_extractor, get_mir_feature_embeds),
-    # checkpoint-gated baselines (reference: utils.py:389-438, 554-608)
+    # checkpoint-gated baselines (reference: utils.py:316-438, 554-608)
     "clap": (_load_clap, _get_clap_embeds),
     "fx-encoder": (_load_fx_encoder, _get_fx_encoder_embeds),
     "beats": (_load_beats, _get_beats_embeds),
     "wav2vec2": (_load_wav2vec2, _get_wav2vec2_embeds),
+    "wav2clip": (_load_wav2clip, _get_wav2clip_embeds),
+    "vggish": (_load_vggish, _get_vggish_embeds),
 }
 
 

@@ -232,6 +232,12 @@ def make_fitness_fn(
         return jitted(model_params, content_params, W, x, target_embeds,
                       target_content_embeds, rng)
 
+    # expose the raw traceable impl so the device-resident ES loop
+    # (ito/device_es.py) can compose it into its k-generation scan
+    fitness._impl = fitness_impl
+    fitness._model_params = model_params
+    fitness._content_params = content_params
+
     # pin refs for every id()-keyed object (see cache comment above)
     _FITNESS_CACHE[cache_key] = (fitness, chain, orig_model, model,
                                  content_model, mesh)
@@ -295,6 +301,7 @@ def run_es(
     verbose: bool = True,
     es_state_path: str | None = None,
     fitness_dtype: str | None = None,
+    gens_per_dispatch: int = 1,
     **kwargs,
 ):
     """CMA-ES inference-time optimization
@@ -307,6 +314,14 @@ def run_es(
     (mean/covariance/paths/best) is saved every iteration and restored on
     start if the file exists, making long ITO runs preemption-safe (an
     auxiliary capability the reference lacks, SURVEY §5.4).
+
+    ``gens_per_dispatch`` > 1 moves the CMA-ES ask/tell math on device and
+    runs that many generations per XLA dispatch (ito/device_es.py), paying
+    one host round trip per block instead of per generation. Early
+    stopping, snapshots, and verbose stats then operate at block
+    granularity (history/stop semantics are unchanged; a stop mid-block
+    truncates the reported history at the stopping generation). Requires a
+    device-traceable metric; savepop forces the per-generation path.
     """
     rng = np.random.default_rng(seed)
     jrng = jax.random.PRNGKey(seed)
@@ -374,17 +389,47 @@ def run_es(
     else:
         w0 = np.asarray(w0, np.float64)
 
-    es = CMAES(w0, sigma0, popsize=popsize, bounds=(0.0, 1.0), seed=seed)
+    es_resume_state = None
     if es_state_path is not None and os.path.isfile(es_state_path):
         snap = np.load(es_state_path)
-        es.load_state_dict({k: snap[k] for k in snap.files})
-        if verbose:
-            print(f"resumed ES state from {es_state_path} "
-                  f"(gen {es.generation})")
+        es_resume_state = {k: snap[k] for k in snap.files}
 
     fval_history: list[float] = []
     wopt_history: list[np.ndarray] = []
     iters_without_improvement = 0
+
+    use_device_es = (gens_per_dispatch > 1 and not savepop
+                     and hasattr(fitness, "_impl"))
+    if use_device_es:
+        wopt, fopt, total_evals = _run_es_device_loop(
+            fitness, fitness_nodrop, chain, x_full, target_embed,
+            target_content_embed, w0, sigma0, popsize, max_iters, dropout,
+            gens_per_dispatch, random_crop, crop_len, eval_len, mesh,
+            early_stop_patience, early_stop_threshold, verbose,
+            es_state_path, es_resume_state, jrng, total_evals,
+            fval_history, wopt_history)
+        elapsed = time.time() - t_start
+        render = _cached_render(chain, sample_rate, x_full.shape[0],
+                                normalize_stages)
+        output_audio = render(jnp.asarray(wopt, jnp.float32), x_full)[None]
+        return {
+            "output_audio": output_audio,
+            "params": parameters_to_dict(wopt, chain),
+            "fopt": fopt,
+            "wopt": wopt,
+            "fval_history": fval_history,
+            "wopt_history": wopt_history,
+            "time_elapsed": elapsed,
+            "total_evals": total_evals,
+            "evals_per_sec": total_evals / max(elapsed, 1e-9),
+        }
+
+    es = CMAES(w0, sigma0, popsize=popsize, bounds=(0.0, 1.0), seed=seed)
+    if es_resume_state is not None:
+        es.load_state_dict(es_resume_state)
+        if verbose:
+            print(f"resumed ES state from {es_state_path} "
+                  f"(gen {es.generation})")
 
     for iteration in range(max_iters):
         W = es.ask()
@@ -443,6 +488,112 @@ def run_es(
         "total_evals": total_evals,
         "evals_per_sec": total_evals / max(elapsed, 1e-9),
     }
+
+
+_BLOCK_RUNNER_CACHE: dict = {}
+
+
+def _block_runner_for(fitness, consts, k, crop_len, mesh):
+    """Cache jitted k-generation runners per (fitness program, k, crop)."""
+    key = (id(fitness), consts.N, consts.lam, k, crop_len, id(mesh))
+    if key not in _BLOCK_RUNNER_CACHE:
+        from st_ito_tpu.ito.device_es import make_block_runner
+
+        ws = NamedSharding(mesh, P("pop", None)) if mesh is not None else None
+        _BLOCK_RUNNER_CACHE[key] = (
+            make_block_runner(fitness._impl, consts, k, crop_len=crop_len,
+                              w_sharding=ws),
+            fitness,  # pin: cache key is id()-based
+            mesh,
+        )
+    return _BLOCK_RUNNER_CACHE[key][0]
+
+
+def _run_es_device_loop(
+    fitness, fitness_nodrop, chain, x_full, target_embed,
+    target_content_embed, w0, sigma0, popsize, max_iters, dropout,
+    gens_per_dispatch, random_crop, crop_len, eval_len, mesh,
+    early_stop_patience, early_stop_threshold, verbose, es_state_path,
+    es_resume_state, jrng, total_evals, fval_history, wopt_history,
+):
+    """Device-resident ES loop: k generations per dispatch (see run_es).
+
+    Mutates fval_history/wopt_history in place (per-generation, same
+    contents as the host loop); returns (wopt, fopt, total_evals).
+    """
+    from st_ito_tpu.ito import device_es
+
+    consts = device_es.cma_consts(chain.num_params, popsize)
+    if es_resume_state is not None:
+        state = device_es.state_from_dict(es_resume_state)
+        if verbose:
+            print(f"resumed ES state from {es_state_path} "
+                  f"(gen {int(state.generation)})")
+    else:
+        state = device_es.cma_init(w0, sigma0)
+
+    T = x_full.shape[-1]
+    if random_crop and (T - crop_len) > 16384:
+        x_eval, blk_crop = x_full, crop_len
+    else:
+        x_eval = _crop_or_pad(x_full, jnp.asarray(0, jnp.int32),
+                              crop_len=eval_len)
+        blk_crop = None
+
+    # the reference disables embedding dropout on the final generation
+    # (style_transfer.py:632-635): run it as its own 1-generation block
+    main_gens = max_iters if dropout == 0.0 else max_iters - 1
+    stopped = False
+    done = 0
+    iters_without_improvement = 0
+    while done < main_gens and not stopped:
+        k = min(gens_per_dispatch, main_gens - done)
+        runner = _block_runner_for(fitness, consts, k, blk_crop, mesh)
+        jrng, sub = jax.random.split(jrng)
+        state, stats = runner(state, fitness._model_params,
+                              fitness._content_params, x_eval, target_embed,
+                              target_content_embed, sub)
+        gen_min = np.asarray(stats.gen_min_fval)
+        best_f = np.asarray(stats.best_f)
+        best_x = np.asarray(stats.best_x)
+        for j in range(k):
+            prev_best = min(fval_history) if fval_history else None
+            total_evals += popsize
+            fval_history.append(float(best_f[j]))
+            wopt_history.append(best_x[j].astype(np.float64))
+            if verbose:
+                print(f"gen {done + j + 1:4d}  evals {total_evals:6d}  "
+                      f"fbest {best_f[j]:+.6f}")
+            fval_delta = (float(gen_min[j]) - prev_best
+                          if prev_best is not None else -0.02)
+            if fval_delta > early_stop_threshold:
+                iters_without_improvement += 1
+            else:
+                iters_without_improvement = 0
+            if iters_without_improvement > early_stop_patience:
+                if verbose:
+                    print("Stopping early due to no improvement.")
+                stopped = True
+                break
+        done += k
+        if es_state_path is not None:
+            np.savez(es_state_path, **device_es.state_to_dict(state))
+
+    if dropout > 0.0 and not stopped and max_iters > 0:
+        runner = _block_runner_for(fitness_nodrop, consts, 1, blk_crop, mesh)
+        jrng, sub = jax.random.split(jrng)
+        state, stats = runner(state, fitness_nodrop._model_params,
+                              fitness_nodrop._content_params, x_eval,
+                              target_embed, target_content_embed, sub)
+        total_evals += popsize
+        fval_history.append(float(np.asarray(stats.best_f)[0]))
+        wopt_history.append(np.asarray(stats.best_x)[0].astype(np.float64))
+        if es_state_path is not None:
+            np.savez(es_state_path, **device_es.state_to_dict(state))
+
+    wopt = wopt_history[-1] if wopt_history else np.asarray(w0, np.float64)
+    fopt = fval_history[-1] if fval_history else float("inf")
+    return wopt, fopt, total_evals
 
 
 def _savepop_to_disk(iteration, fvals, audio, run_dir, sample_rate):

@@ -341,20 +341,38 @@ def get_wav2vec2_embeds(x: jnp.ndarray, model: Wav2Vec2Handle,
 get_wav2vec2_embeds.host_side = True
 
 
-def load_wav2clip_model(use_gpu: bool = False):
-    """(reference: st_ito/utils.py:320-347) — requires the wav2clip package,
-    not present in this environment."""
-    raise ImportError(
-        "wav2clip is not installed in this environment; install wav2clip and "
-        "its checkpoint to enable this eval-only baseline metric.")
+def load_wav2clip_model(ckpt_path: str | None = "checkpoints/Wav2CLIP.pt",
+                        allow_random: bool = False, use_gpu: bool = False):
+    """Native JAX Wav2CLIP tower (reference: st_ito/utils.py:320-347);
+    see st_ito_tpu/models/wav2clip.py."""
+    from st_ito_tpu.models.wav2clip import load_wav2clip_model as _load
+
+    return _load(ckpt_path=ckpt_path, allow_random=allow_random)
 
 
-def load_vggish_model(use_gpu: bool = False):
-    """(reference: st_ito/utils.py:353-383) — requires torch.hub VGGish
-    weights, unavailable offline."""
-    raise ImportError(
-        "VGGish weights require torch.hub network access; unavailable in "
-        "this environment.")
+def get_wav2clip_embeds(x, model, sample_rate, **kwargs):
+    """(reference: st_ito/utils.py:329-347)."""
+    from st_ito_tpu.models.wav2clip import get_wav2clip_embeds as _get
+
+    return _get(x, model, sample_rate, **kwargs)
+
+
+def load_vggish_model(ckpt_path: str | None = "checkpoints/vggish.pth",
+                      pca_path: str | None = "checkpoints/vggish_pca_params.pth",
+                      allow_random: bool = False, use_gpu: bool = False):
+    """Native JAX VGGish (reference: st_ito/utils.py:352-358);
+    see st_ito_tpu/models/vggish.py."""
+    from st_ito_tpu.models.vggish import load_vggish_model as _load
+
+    return _load(ckpt_path=ckpt_path, pca_path=pca_path,
+                 allow_random=allow_random)
+
+
+def get_vggish_embeds(x, model, sample_rate, **kwargs):
+    """(reference: st_ito/utils.py:361-383)."""
+    from st_ito_tpu.models.vggish import get_vggish_embeds as _get
+
+    return _get(x, model, sample_rate, **kwargs)
 
 
 # ---------------- MFCC feature metric (reference: utils.py:100-159) --------

@@ -114,7 +114,10 @@ def _hz_to_mel_np(f, htk: bool):
     min_log_hz = 1000.0
     min_log_mel = min_log_hz / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+    with np.errstate(divide="ignore"):  # f=0 takes the linear branch
+        return np.where(
+            f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep,
+            mels)
 
 
 def _mel_to_hz_np(m, htk: bool):

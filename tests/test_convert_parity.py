@@ -155,3 +155,159 @@ def test_fx_encoder_converter_parity(tmp_path):
         lambda p, xx: fx_encoder_apply(p, xx, cfg))(params,
                                                     jnp.asarray(x.numpy())))
     np.testing.assert_allclose(out, ref_out.numpy(), atol=1e-4)
+
+
+# ----------------------------------------------------------------------
+# VGGish (reference: st_ito/utils.py:352-383; upstream torch.hub
+# harritaylor/torchvggish). Twin mirrors the upstream VGG Sequential
+# layout exactly, including the transpose-before-flatten.
+# ----------------------------------------------------------------------
+
+
+def _torch_vggish_twin():
+    import torch.nn as nn
+
+    layers, in_c = [], 1
+    for v in [64, "M", 128, "M", 256, 256, "M", 512, 512, "M"]:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(in_c, v, 3, padding=1), nn.ReLU(True)]
+            in_c = v
+
+    class VGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*layers)
+            self.embeddings = nn.Sequential(
+                nn.Linear(512 * 4 * 6, 4096), nn.ReLU(True),
+                nn.Linear(4096, 4096), nn.ReLU(True),
+                nn.Linear(4096, 128), nn.ReLU(True))
+
+        def forward(self, x):
+            x = self.features(x)
+            x = torch.transpose(x, 1, 3)
+            x = torch.transpose(x, 1, 2)
+            x = x.contiguous().view(x.size(0), -1)
+            return self.embeddings(x)
+
+    return VGG()
+
+
+def test_vggish_converter_parity():
+    from st_ito_tpu.models.vggish import (
+        convert_vggish_state_dict,
+        vggish_forward,
+        vggish_postprocess,
+    )
+
+    torch.manual_seed(2)
+    twin = _torch_vggish_twin().eval()
+    x = torch.randn(3, 1, 96, 64)
+    with torch.no_grad():
+        ref = twin(x).numpy()
+
+    params = convert_vggish_state_dict(twin.state_dict())
+    out = np.asarray(jax.jit(vggish_forward)(params,
+                                             jnp.asarray(x.numpy()[:, 0])))
+    np.testing.assert_allclose(out, ref, atol=2e-4 * max(1.0, np.abs(ref).max()))
+
+    # PCA postprocessor parity vs the upstream formula
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((128, 128)).astype(np.float32)
+    mu = rng.standard_normal((128, 1)).astype(np.float32)
+    params["pca_eigen_vectors"] = jnp.asarray(M)
+    params["pca_means"] = jnp.asarray(mu)
+    e = rng.standard_normal((5, 128)).astype(np.float32) * 0.1
+    got = np.asarray(vggish_postprocess(params, jnp.asarray(e)))
+    want = np.round((np.clip((M @ (e.T - mu)).T, -2.0, 2.0) + 2.0)
+                    * (255.0 / 4.0))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+# ----------------------------------------------------------------------
+# Wav2CLIP (reference: st_ito/utils.py:316-347; upstream
+# descriptinc/lyrebird-wav2clip). Twin mirrors the torchvision ResNet-18
+# state_dict layout the release nests under `encoder.`, plus the
+# `transform` projection MLP.
+# ----------------------------------------------------------------------
+
+
+class _TorchBasicBlock(torch.nn.Module):
+    def __init__(self, in_c, out_c, stride):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(in_c, out_c, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(out_c)
+        self.conv2 = nn.Conv2d(out_c, out_c, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out_c)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or in_c != out_c:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_c, out_c, 1, stride, bias=False),
+                nn.BatchNorm2d(out_c))
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + idn)
+
+
+class _TorchResNet18(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(1, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        chans, in_c = [64, 128, 256, 512], 64
+        for si, c in enumerate(chans, start=1):
+            stride = 1 if si == 1 else 2
+            setattr(self, f"layer{si}", nn.Sequential(
+                _TorchBasicBlock(in_c, c, stride),
+                _TorchBasicBlock(c, c, 1)))
+            in_c = c
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512, 512)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for si in range(1, 5):
+            x = getattr(self, f"layer{si}")(x)
+        x = self.avgpool(x).flatten(1)
+        return self.fc(x)
+
+
+def test_wav2clip_converter_parity():
+    from st_ito_tpu.models.wav2clip import (
+        convert_wav2clip_state_dict,
+        resnet18_forward,
+        wav2clip_transform,
+    )
+
+    torch.manual_seed(3)
+    twin = _TorchResNet18()
+    transform = torch.nn.Sequential(
+        torch.nn.Linear(512, 512), torch.nn.ReLU(), torch.nn.Linear(512, 512))
+    # exercise BN running stats: one training-mode pass moves them off init
+    twin.train()
+    with torch.no_grad():
+        twin(torch.randn(4, 1, 64, 96))
+    twin.eval()
+
+    spec = torch.randn(2, 1, 64, 96)
+    with torch.no_grad():
+        ref = transform(twin(spec)).numpy()
+
+    sd = {f"encoder.{k}": v for k, v in twin.state_dict().items()}
+    sd.update({f"transform.sequential.{k}": v
+               for k, v in transform.state_dict().items()})
+    params = convert_wav2clip_state_dict(sd)
+    out = np.asarray(jax.jit(
+        lambda p, s: wav2clip_transform(p, resnet18_forward(p, s)))(
+            params, jnp.asarray(spec.numpy())))
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(out, ref, atol=5e-4 * scale)

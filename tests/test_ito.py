@@ -271,6 +271,99 @@ def test_fitness_cache_pins_chain_refs(mfcc_setup):
     assert ref() is not None  # still alive -> its id cannot be reused
 
 
+# ---------------- device-resident ES (k generations per dispatch) --------
+
+
+def test_device_cmaes_sphere():
+    """The on-device ask/tell math converges like the host CMAES."""
+    from st_ito_tpu.ito import device_es
+
+    N, lam = 8, 16
+    target = jnp.full(N, 0.3)
+    consts = device_es.cma_consts(N, lam)
+    state = device_es.cma_init(np.full(N, 0.8), 0.3)
+
+    def fitness_impl(mparams, cparams, W, x, te, tce, rng):
+        return jnp.sum((W - target[None, :]) ** 2, axis=-1)
+
+    run = device_es.make_block_runner(fitness_impl, consts, k=25)
+    key = jax.random.PRNGKey(0)
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        state, stats = run(state, None, None, jnp.zeros((1, 8)), None, None,
+                           sub)
+    assert float(state.best_f) < 1e-5
+    np.testing.assert_allclose(np.asarray(state.best_x), np.asarray(target),
+                               atol=5e-3)
+    # ask respects [0,1] bounds via reflection
+    W = device_es.cma_ask(state, consts, jax.random.PRNGKey(7))
+    assert float(W.min()) >= 0.0 and float(W.max()) <= 1.0
+
+
+def test_device_cmaes_state_dict_interop():
+    """Device snapshots load into the host CMAES and back."""
+    from st_ito_tpu.ito import device_es
+
+    consts = device_es.cma_consts(4, 8)
+    state = device_es.cma_init(np.full(4, 0.5), 0.3)
+
+    def fitness_impl(mparams, cparams, W, x, te, tce, rng):
+        return jnp.sum((W - 0.2) ** 2, axis=-1)
+
+    run = device_es.make_block_runner(fitness_impl, consts, k=3)
+    state, _ = run(state, None, None, jnp.zeros((1, 4)), None, None,
+                   jax.random.PRNGKey(0))
+    d = device_es.state_to_dict(state)
+    es = CMAES(np.full(4, 0.5), 0.3, popsize=8, seed=0)
+    es.load_state_dict(d)
+    np.testing.assert_allclose(es.mean, d["mean"])
+    assert es.generation == 3 and es.counteval == 24
+    state2 = device_es.state_from_dict(es.state_dict())
+    np.testing.assert_allclose(np.asarray(state2.C), np.asarray(state.C),
+                               atol=1e-6)
+
+
+def test_run_es_device_blocks_recovers_synthetic_target(mfcc_setup):
+    """gens_per_dispatch>1 routes through the device loop and still
+    recovers the synthetic target; histories stay per-generation."""
+    model, embed_func = mfcc_setup
+    chain = _small_chain()
+    x = _test_signal()
+    render = build_render_fn(chain, SR, 1)
+    w_target = jnp.asarray(
+        RNG.uniform(0.2, 0.8, chain.num_params).astype(np.float32))
+    y_target = render(w_target, x[0])[None]
+
+    result = run_es(
+        x, y_target, SR, chain, model, embed_func=embed_func,
+        max_iters=10, popsize=16, sigma0=0.3, crop_len=32768,
+        seed=0, verbose=False, gens_per_dispatch=4,
+    )
+    assert len(result["fval_history"]) == 10
+    assert len(result["wopt_history"]) == 10
+    id_embed = embed_func(x, model, SR)
+    tgt_embed = embed_func(y_target, model, SR)
+    base = -float(jnp.sum(id_embed["mono"] * tgt_embed["mono"]))
+    assert result["fopt"] < base + 1e-4
+    # best-so-far history is monotone non-increasing
+    assert all(b <= a + 1e-7 for a, b in
+               zip(result["fval_history"], result["fval_history"][1:]))
+
+
+def test_run_es_device_blocks_dropout_final_gen(mfcc_setup):
+    """dropout>0: main gens run in blocks, final generation dropout-free."""
+    model, embed_func = mfcc_setup
+    chain = _small_chain()
+    x = _test_signal()
+    result = run_es(
+        x, x, SR, chain, model, embed_func=embed_func, dropout=0.3,
+        max_iters=5, popsize=8, sigma0=0.3, crop_len=32768,
+        find_w0=False, seed=0, verbose=False, gens_per_dispatch=3,
+    )
+    assert len(result["fval_history"]) == 5
+    assert np.isfinite(result["fopt"])
+
+
 def test_run_staged_es(mfcc_setup):
     """Per-stage CMA-ES with earlier stages frozen at their optimum
     (reference: scripts/run_optim.py:39-234)."""
