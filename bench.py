@@ -6,6 +6,11 @@ One candidate evaluation = render the 5-effect basic chain (EQ -> compressor
 i.e. everything inside the reference's CMA-ES inner loop
 (reference: st_ito/style_transfer.py:474-573).
 
+Measured through the REAL optimization loop: run_es with the
+device-resident CMA-ES (gens_per_dispatch blocks), so the number includes
+the ask/tell update, early-stop bookkeeping and per-block host fetches —
+not just raw fitness dispatches.
+
 Baseline target (BASELINE.json): >= 1024 evals/sec on TPU v5e-8 with
 embedding cosine within 1e-3 of the PyTorch reference. vs_baseline is
 value / 1024.
@@ -17,7 +22,7 @@ Prints ONE JSON line:
 import argparse
 import json
 import sys
-import time
+
 
 import numpy as np
 
@@ -28,11 +33,14 @@ def main():
                         help="small shapes on CPU for smoke testing")
     parser.add_argument("--popsize", type=int, default=0,
                         help="0 = auto (512 per device)")
-    parser.add_argument("--iters", type=int, default=5)
-    parser.add_argument("--length", type=int, default=0,
-                        help="0 = auto (262144, or 65536 with --quick)")
+    parser.add_argument("--iters", type=int, default=20,
+                        help="timed ES generations (multiple of --block)")
+    parser.add_argument("--block", type=int, default=10,
+                        help="generations per device dispatch")
     parser.add_argument("--profile", type=str, default="",
                         help="write a jax.profiler trace to this directory")
+    parser.add_argument("--length", type=int, default=0,
+                        help="0 = auto (262144, or 32768 with --quick)")
     args = parser.parse_args()
 
     if args.quick:
@@ -46,9 +54,9 @@ def main():
 
     enable_persistent_cache()
 
-    from st_ito_tpu.chain import basic_chain, build_render_fn
-    from st_ito_tpu.ito import make_fitness_fn
-    from st_ito_tpu.models.registry import get_param_embeds, load_param_model
+    from st_ito_tpu.chain import basic_chain
+    from st_ito_tpu.ito import run_es
+    from st_ito_tpu.models.registry import load_param_model
     from st_ito_tpu.parallel import make_mesh
 
     n_dev = len(jax.devices())
@@ -57,37 +65,33 @@ def main():
     popsize = args.popsize or (16 if args.quick else 512 * n_dev)
     T = args.length or (32768 if args.quick else 262144)
     sample_rate = 48000
+    block = max(1, min(args.block, args.iters))
+    iters = max(block, (args.iters // block) * block)
 
     chain = basic_chain()
     model = load_param_model(allow_random=True)
     mesh = make_mesh(n_dev, "pop") if n_dev > 1 else None
-    fitness = make_fitness_fn(chain, model, sample_rate, num_channels=2,
-                              mesh=mesh)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((2, T)).astype(np.float32) * 0.5)
-    target = get_param_embeds(x[None], model, sample_rate)
-    W = jnp.asarray(rng.random((popsize, chain.num_params)).astype(np.float32))
-    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.standard_normal((1, 2, T)).astype(np.float32) * 0.5)
+    y = jnp.asarray(rng.standard_normal((1, 2, T)).astype(np.float32) * 0.5)
 
-    # warmup / compile
-    fvals = np.asarray(fitness(W, x, target, None, key))
+    common = dict(
+        chain=chain, model=model, popsize=popsize, find_w0=False,
+        sigma0=0.33, crop_len=T, seed=0, mesh=mesh, verbose=False,
+        early_stop_patience=10**9, gens_per_dispatch=block,
+    )
+    # warmup: compiles the fitness program, the k-generation ES runner and
+    # the final render once (all cached for the timed run)
+    run_es(x, y, sample_rate, max_iters=block, **common)
 
-    # Per-iteration host fetch of the fitness values — exactly what the
-    # CMA-ES ask/tell loop does. (block_until_ready alone is unreliable on
-    # tunneled backends; fetching the result is the honest sync point.)
-    Ws = [jnp.asarray(rng.random((popsize, chain.num_params)).astype(np.float32))
-          for _ in range(args.iters)]
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    t0 = time.time()
-    for i in range(args.iters):
-        fvals = np.asarray(fitness(Ws[i], x, target, None, key))
-    elapsed = time.time() - t0
+    res = run_es(x, y, sample_rate, max_iters=iters, **common)
     if args.profile:
         jax.profiler.stop_trace()
 
-    evals_per_sec = popsize * args.iters / elapsed
+    evals_per_sec = res["evals_per_sec"]
     print(json.dumps({
         "metric": "candidate_evals_per_sec",
         "value": round(evals_per_sec, 2),
@@ -95,8 +99,9 @@ def main():
         "vs_baseline": round(evals_per_sec / 1024.0, 4),
     }))
     print(
-        f"# devices={n_dev} popsize={popsize} T={T} iters={args.iters} "
-        f"elapsed={elapsed:.2f}s platform={jax.devices()[0].platform}",
+        f"# devices={n_dev} popsize={popsize} T={T} iters={iters} "
+        f"block={block} elapsed={res['time_elapsed']:.2f}s "
+        f"fopt={res['fopt']:+.4f} platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 

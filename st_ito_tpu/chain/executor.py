@@ -180,6 +180,26 @@ def build_batched_render_fn(
             for stage, _, _ in stages:
                 pad = max(pad, T if stage.pad < 0 else stage.pad)
             n = next_pow2(T + pad)
+
+            # fully fused Pallas path: response construction + packed
+            # application in ONE kernel (no (B, F) complex intermediates)
+            from st_ito_tpu.chain.rp_responses import RP_BUNDLES
+
+            if (use_pallas and fft_mode == "mx" and C == 2
+                    and all(s.effect in RP_BUNDLES for s, _, _ in stages)):
+                from st_ito_tpu.ops.pallas.packed_response import (
+                    packed_lti_apply_rp)
+
+                rp_stages = []
+                for stage, start, _ in stages:
+                    params = stage_params(stage, W, start)
+                    active = ((W[:, start] <= 0.5)
+                              if chain.with_bypass else None)
+                    rp_stages.append((stage.effect, params, active))
+                x = packed_lti_apply_rp(x, rp_stages, n, sample_rate,
+                                        precision=fft_precision)
+                continue
+
             omega = jnp.linspace(0.0, math.pi, n // 2 + 1, dtype=jnp.float32)
 
             from st_ito_tpu.chain.responses import (

@@ -86,11 +86,30 @@ def eq_fast_batched(x, p, sr, fast: bool):
 # ----------------------------------------------------------------- delay
 
 
+def reduced_phase(omega: jnp.ndarray, D, n: int):
+    """theta = omega*D range-reduced EXACTLY for the grid omega_k = 2pi k/n.
+
+    Direct f32 omega*D loses ~1e-2 rad at (k ~ 2^18) * (D ~ 5e4); instead
+    split D into integer + fractional parts and reduce the integer part
+    with wraparound int32 products: n is a power of two, so the low
+    log2(n) bits of k*Di survive int32 overflow exactly."""
+    F = omega.shape[-1]
+    n_grid = 2 * (F - 1)
+    assert n is None or n_grid == n
+    k = jnp.arange(F, dtype=jnp.int32)
+    D = jnp.asarray(D, jnp.float32)
+    Di = jnp.floor(D)
+    Df = D - Di
+    m = (k * Di.astype(jnp.int32)) & (n_grid - 1)
+    return (2.0 * math.pi / n_grid) * m.astype(jnp.float32) + omega * Df
+
+
 def delay_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
     D = jnp.asarray(p["delay_seconds"])[..., None] * sr
     fb = jnp.asarray(p["feedback"])[..., None] * 0.999
     mix = jnp.asarray(p["mix"])[..., None]
-    zD = jnp.exp(-1j * omega * D)
+    theta = reduced_phase(omega, D, None)
+    zD = jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
     H_wet = zD / (1.0 - fb * zD)
     return ("scalar", (1.0 - mix) + mix * H_wet)
 
@@ -123,6 +142,17 @@ def widener_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
 # ----------------------------------------------------------------- freeverb
 
 
+def _static_lag_z(omega, D: int):
+    """z^-D on the rfft grid with exact integer phase reduction (the
+    direct f32 omega*D product drifts ~3e-4 rad at 2^19-point grids,
+    which detunes the comb resonances)."""
+    F = omega.shape[-1]
+    n = 2 * (F - 1)
+    m = (jnp.arange(F, dtype=jnp.int32) * D) & (n - 1)
+    theta = (2.0 * math.pi / n) * m.astype(jnp.float32)
+    return jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
+
+
 def _freeverb_channel_response(omega, sr, feedback, damp, spread: int):
     """(B, F) wet response of 8 damped combs -> 4 allpasses.
     feedback/damp: (B, 1)."""
@@ -130,14 +160,14 @@ def _freeverb_channel_response(omega, sr, feedback, damp, spread: int):
     comb_sum = None
     for tune in _COMB_TUNINGS:
         D = int(sr * (tune + spread) / 44100.0)
-        zD = jnp.exp(-1j * omega * D)
+        zD = _static_lag_z(omega, D)
         one_pole = 1.0 - damp * z1
         comb = zD * one_pole / (one_pole - feedback * (1.0 - damp) * zD)
         comb_sum = comb if comb_sum is None else comb_sum + comb
     ap = None
     for tune in _ALLPASS_TUNINGS:
         D = int(sr * (tune + spread) / 44100.0)
-        zD = jnp.exp(-1j * omega * D)
+        zD = _static_lag_z(omega, D)
         a = (1.5 * zD - 1.0) / (1.0 - 0.5 * zD)
         ap = a if ap is None else ap * a
     return comb_sum * ap

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from st_ito_tpu.ops.iir import linear_recurrence, next_pow2
@@ -36,7 +37,15 @@ def feedback_delay(
     mix = jnp.asarray(mix, jnp.float32)
 
     w = jnp.linspace(0.0, math.pi, n // 2 + 1, dtype=jnp.float32)
-    zD = jnp.exp(-1j * w * D)
+    # exact integer phase reduction: direct f32 w*D loses ~1e-2 rad at
+    # (k ~ 2^18)*(D ~ 5e4); must match chain/responses.reduced_phase so the
+    # batched and per-candidate renderers agree bit-near-exactly
+    Di = jnp.floor(D)
+    Df = D - Di
+    m = (jnp.arange(n // 2 + 1, dtype=jnp.int32) * Di.astype(jnp.int32)
+         ) & (n - 1)
+    theta = (2.0 * math.pi / n) * m.astype(jnp.float32) + w * Df
+    zD = jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
     H = zD / (1.0 - fb * 0.999 * zD)  # 0.999 bounds the tail at fb=1
 
     X = jnp.fft.rfft(x, n=n, axis=-1)

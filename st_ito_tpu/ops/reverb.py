@@ -110,13 +110,20 @@ def _freeverb_wet_response(
     w = jnp.linspace(0.0, math.pi, n_freqs, dtype=jnp.float32)
     z1 = jnp.exp(-1j * w)  # z^-1
 
+    def lag_z(D: int):
+        # exact integer phase reduction: f32 w*D drifts ~3e-4 rad at 2^19
+        # grids, detuning the comb resonances (see chain/responses.py)
+        m = (jnp.arange(n_freqs, dtype=jnp.int32) * D) & (fft_size - 1)
+        th = (2.0 * math.pi / fft_size) * m.astype(jnp.float32)
+        return jax.lax.complex(jnp.cos(th), -jnp.sin(th))
+
     feedback = jnp.asarray(room_size, jnp.float32) * 0.28 + 0.7
     damp = jnp.asarray(damping, jnp.float32) * 0.4
 
     comb_sum = jnp.zeros(n_freqs, jnp.complex64)
     for tune in _COMB_TUNINGS:
         D = int(sample_rate * (tune + spread) / 44100.0)
-        zD = jnp.exp(-1j * w * D)
+        zD = lag_z(D)
         # comb with one-pole damping in the feedback path:
         #   out = z^-D (1 - d z^-1) / (1 - d z^-1 - fb (1-d) z^-D)
         one_pole = 1.0 - damp * z1
@@ -126,7 +133,7 @@ def _freeverb_wet_response(
     ap = jnp.ones(n_freqs, jnp.complex64)
     for tune in _ALLPASS_TUNINGS:
         D = int(sample_rate * (tune + spread) / 44100.0)
-        zD = jnp.exp(-1j * w * D)
+        zD = lag_z(D)
         # JUCE freeverb allpass: y[n] = b[n] - x[n], b[n] = x[n-D] + 0.5 b[n-D]
         ap = ap * ((1.5 * zD - 1.0) / (1.0 - 0.5 * zD))
 

@@ -1,0 +1,130 @@
+"""Fused Pallas packed-response kernel vs the generic complex-response
+path (chain/responses.py + jnp.fft): identical math, one kernel."""
+
+import math
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from st_ito_tpu.chain import basic_delay, basic_reverb
+from st_ito_tpu.chain.responses import (
+    apply_response,
+    bypass_blend,
+    compose_responses,
+)
+from st_ito_tpu.ops.iir import next_pow2
+from st_ito_tpu.ops.pallas.packed_response import packed_lti_apply_rp
+
+RNG = np.random.default_rng(21)
+SR = 48000
+
+
+def _generic_lti_apply(x, stages_params, n, with_active):
+    """Oracle: compose complex responses and apply via jnp.fft."""
+    omega = jnp.linspace(0.0, math.pi, n // 2 + 1, dtype=jnp.float32)
+    F = omega.shape[0]
+    kind_H, H = "scalar", None
+    for stage, params, active in stages_params:
+        k, Hs = stage.response_fn(params, omega, SR, 2)
+        if active is not None:
+            Hs = bypass_blend(k, Hs, active)
+        kind_H, H = compose_responses(kind_H, H, k, Hs, F)
+    X = jnp.fft.rfft(x, n=n, axis=-1)
+    Y = apply_response(kind_H, H, X)
+    return jnp.fft.irfft(Y, n=n, axis=-1)[..., : x.shape[-1]]
+
+
+def _stage_param_dicts(stage, B, rng):
+    return {p.name: jnp.asarray(
+        p.denormalize(jnp.asarray(rng.random(B), jnp.float32)))
+        for p in stage.params}
+
+
+@pytest.mark.parametrize("with_active", [False, True])
+def test_fused_rp_matches_generic_path(with_active):
+    B, T = 4, 4000
+    n = next_pow2(2 * T)
+    x = jnp.asarray(RNG.standard_normal((B, 2, T)).astype(np.float32) * 0.3)
+
+    delay = basic_delay()
+    reverb = basic_reverb()
+    stages = [delay, reverb]
+    sp = []
+    rp_stages = []
+    for i, stage in enumerate(stages):
+        params = _stage_param_dicts(stage, B, RNG)
+        active = None
+        if with_active:
+            active = jnp.asarray((RNG.random(B) > 0.3))
+        sp.append((stage, params, active))
+        rp_stages.append((stage.effect, params, active))
+
+    ref = np.asarray(_generic_lti_apply(x, sp, n, with_active))
+    got = np.asarray(packed_lti_apply_rp(
+        x, rp_stages, n, SR, precision="highest", interpret=True))
+
+    _assert_close_resonant(got, ref)
+
+
+def _assert_close_resonant(got, ref):
+    """Tolerances calibrated to the f32-vs-f64 noise floor of resonant
+    feedback responses: measured against a float64 oracle, the existing
+    complex-path f32 evaluation itself deviates up to ~2e-2 absolute at
+    high feedback, and the rp path matches the oracle equally well — so
+    the two f32 formulations can legitimately differ at that level at
+    resonance peaks while agreeing to ~1e-4 in RMS."""
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(got, ref, atol=2e-2 * scale)
+    rms_err = np.sqrt(np.mean((got - ref) ** 2))
+    rms_ref = np.sqrt(np.mean(ref**2))
+    assert rms_err < 2e-3 * max(1.0, rms_ref), (rms_err, rms_ref)
+
+
+def test_fused_rp_scalar_only_group():
+    """A delay-only group exercises the pure-scalar coefficient path."""
+    B, T = 3, 2000
+    n = next_pow2(2 * T)
+    x = jnp.asarray(RNG.standard_normal((B, 2, T)).astype(np.float32) * 0.3)
+    delay = basic_delay()
+    params = _stage_param_dicts(delay, B, RNG)
+    ref = np.asarray(_generic_lti_apply(x, [(delay, params, None)], n, False))
+    got = np.asarray(packed_lti_apply_rp(
+        x, [(delay.effect, params, None)], n, SR, precision="highest",
+        interpret=True))
+    _assert_close_resonant(got, ref)
+
+
+def test_rp_reference_matches_kernel_interpret():
+    """The pure-jnp rp reference and the kernel agree bit-near-exactly."""
+    from st_ito_tpu.ops.pallas.packed_response import (
+        packed_response_apply_rp,
+        packed_response_apply_rp_reference,
+    )
+    from st_ito_tpu.chain.rp_responses import RP_BUNDLES
+
+    B, F = 4, 700
+    n = 2 * (F - 1)
+    Z = [jnp.asarray(RNG.standard_normal((B, F)).astype(np.float32))
+         for _ in range(4)]
+    reverb = basic_reverb()
+    params = _stage_param_dicts(reverb, B, RNG)
+    Fp = -(-F // 512) * 512
+    tab = RP_BUNDLES["reverb"][0](SR, n, Fp)
+    statics = {k: v for k, v in tab.items() if not hasattr(v, "shape")}
+    arrays = {k: v for k, v in tab.items() if hasattr(v, "shape")}
+    pnames = tuple(sorted(params))
+    tnames = tuple(sorted(arrays))
+    descrs = [("reverb", pnames, tnames, statics)]
+    parr = [params[k] for k in pnames]
+    tarr = [arrays[k] for k in tnames]
+
+    got = packed_response_apply_rp(*Z, descrs, parr, [], tarr,
+                                   interpret=True)
+    # reference runs on the padded grid the kernel saw
+    Zp = [jnp.pad(z, ((0, 0), (0, Fp - F))) for z in Z]
+    want = packed_response_apply_rp_reference(*Zp, descrs, parr, [], tarr)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w)[:, :F],
+                                   atol=1e-4 * max(1.0, float(jnp.abs(w).max())))
