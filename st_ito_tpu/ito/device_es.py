@@ -212,6 +212,7 @@ def make_block_runner(
     crop_len: int | None = None,
     crop_min_start: int = 16384,
     w_sharding=None,
+    lift: bool = False,
 ) -> Callable:
     """Build the jitted k-generation runner.
 
@@ -222,13 +223,19 @@ def make_block_runner(
     (reference crop semantics: st_ito/style_transfer.py:505-518 — one crop
     shared by the whole population per generation).
 
+    With ``lift=True`` the runner takes an extra ``lift_args =
+    (template (P,), start)`` argument and evaluates fitness on candidates
+    embedded into the full frozen parameter vector at [start, start+N)
+    (run_es opt_slice support) — passed as data, not closure, so one
+    compiled runner serves every stage of a staged run.
+
     Returns ``run(state, mparams, cparams, x, target_embeds,
-    target_content_embeds, key) -> (state, BlockStats)``; jitted, one
-    device dispatch per call.
+    target_content_embeds, key[, lift_args]) -> (state, BlockStats)``;
+    jitted, one device dispatch per call.
     """
 
     def run(state, mparams, cparams, x, target_embeds,
-            target_content_embeds, key):
+            target_content_embeds, key, lift_args=None):
         T = x.shape[-1]
         do_crop = crop_len is not None and T > crop_len
 
@@ -238,13 +245,19 @@ def make_block_runner(
             W = cma_ask(st, consts, key_ask)
             if w_sharding is not None:  # population axis over the mesh
                 W = jax.lax.with_sharding_constraint(W, w_sharding)
+            W_eval = W
+            if lift:
+                template, start0 = lift_args
+                Wf = jnp.tile(template[None, :], (consts.lam, 1))
+                W_eval = jax.lax.dynamic_update_slice(
+                    Wf, W, (jnp.asarray(0, jnp.int32), start0))
             if do_crop:
                 lo = min(crop_min_start, T - crop_len)
                 start = jax.random.randint(key_crop, (), lo, T - crop_len)
                 xe = jax.lax.dynamic_slice_in_dim(x, start, crop_len, axis=-1)
             else:
                 xe = x
-            fvals = fitness_impl(mparams, cparams, W, xe, target_embeds,
+            fvals = fitness_impl(mparams, cparams, W_eval, xe, target_embeds,
                                  target_content_embeds, key_fit)
             st = cma_tell(st, consts, W, fvals.astype(jnp.float32))
             return st, (jnp.min(fvals).astype(jnp.float32), st.best_f,

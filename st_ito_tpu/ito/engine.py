@@ -262,6 +262,18 @@ _crop_or_pad = jax.jit(_crop_or_pad_impl, static_argnames=("crop_len",))
 
 _peak_norm = jax.jit(lambda x: x / jnp.maximum(jnp.max(jnp.abs(x)), 1e-8))
 
+
+@jax.jit
+def _lift_slice_impl(template, W, s0):
+    Wf = jnp.tile(template[None, :], (W.shape[0], 1))
+    return jax.lax.dynamic_update_slice(Wf, W, (0, s0))
+
+
+def _lift_slice(template, W, s0: int):
+    """Embed slice-width candidates into the full frozen parameter vector
+    (run_es opt_slice support)."""
+    return _lift_slice_impl(template, W, jnp.asarray(s0, jnp.int32))
+
 _peak_norm_items = jax.jit(
     lambda x: x / jnp.maximum(
         jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True), 1e-8))
@@ -302,10 +314,18 @@ def run_es(
     es_state_path: str | None = None,
     fitness_dtype: str | None = None,
     gens_per_dispatch: int = 1,
+    opt_slice: tuple[int, int] | None = None,
+    w_template: np.ndarray | None = None,
     **kwargs,
 ):
     """CMA-ES inference-time optimization
     (reference: st_ito/style_transfer.py:399-692).
+
+    ``opt_slice=(start, end)`` optimizes only that slice of the parameter
+    vector; the other entries stay frozen at ``w_template`` (default:
+    chain init). This is the frozen-prefix mechanism run_staged_es uses
+    to give every stage the full ES loop (reference staged runner:
+    scripts/run_optim.py:39-234). ``w0`` is then slice-width.
 
     input_audio/target_audio: (1, C, T). Returns the reference's result dict
     plus timing/throughput statistics.
@@ -337,6 +357,24 @@ def run_es(
         )
 
     num_params = chain.num_params
+    if opt_slice is not None:
+        s0, s1 = opt_slice
+        opt_width = s1 - s0
+        template = (np.asarray(w_template, np.float64)
+                    if w_template is not None
+                    else np.asarray(chain.init_params(), np.float64))
+        lift_t = jnp.asarray(template, jnp.float32)
+
+        def lift_np(w):
+            full = template.copy()
+            full[s0:s1] = w
+            return full
+    else:
+        opt_width = num_params
+        lift_t = None
+
+        def lift_np(w):
+            return w
     x_full = input_audio[0]  # (C, T)
     T = x_full.shape[-1]
     eval_len = min(T, crop_len) if not random_crop else crop_len
@@ -364,7 +402,10 @@ def run_es(
             start = 0
         x = _crop_or_pad(x_full, jnp.asarray(start, jnp.int32), crop_len=eval_len)
         fit = fitness if dropout_active else fitness_nodrop
-        out = fit(jnp.asarray(W, jnp.float32), x, target_embed,
+        W = jnp.asarray(W, jnp.float32)
+        if lift_t is not None:  # jitted: no eager dispatch on the TPU relay
+            W = _lift_slice(lift_t, W, s0)
+        out = fit(W, x, target_embed,
                   target_content_embed, iteration_rng)
         if savepop:
             fvals, embeds, audio = out
@@ -377,7 +418,7 @@ def run_es(
     # find the best starting point among random candidates
     # (reference: style_transfer.py:576-603)
     if find_w0:
-        W_init = rng.random((popsize, num_params))
+        W_init = rng.random((popsize, opt_width))
         jrng, sub = jax.random.split(jrng)
         fvals, embeds, audio = eval_W(W_init, sub)
         total_evals += popsize
@@ -385,7 +426,7 @@ def run_es(
         if savepop:
             _savepop_to_disk(-1, fvals, audio, run_dir, sample_rate)
     elif w0 is None:
-        w0 = np.full(num_params, 0.5)
+        w0 = np.full(opt_width, 0.5)
     else:
         w0 = np.asarray(w0, np.float64)
 
@@ -401,8 +442,11 @@ def run_es(
     use_device_es = (gens_per_dispatch > 1 and not savepop
                      and hasattr(fitness, "_impl"))
     if use_device_es:
+        lift_args = ((lift_t, jnp.asarray(s0, jnp.int32))
+                     if opt_slice is not None else None)
         wopt, fopt, total_evals = _run_es_device_loop(
-            fitness, fitness_nodrop, chain, x_full, target_embed,
+            fitness, fitness_nodrop, opt_width, lift_args, lift_np, x_full,
+            target_embed,
             target_content_embed, w0, sigma0, popsize, max_iters, dropout,
             gens_per_dispatch, random_crop, crop_len, eval_len, mesh,
             early_stop_patience, early_stop_threshold, verbose,
@@ -446,7 +490,7 @@ def run_es(
         if verbose:
             es.disp()
 
-        wopt_history.append(es.result[0])
+        wopt_history.append(lift_np(es.result[0]))
         fval_history.append(es.result[1])
 
         if es_state_path is not None:
@@ -472,6 +516,7 @@ def run_es(
 
     elapsed = time.time() - t_start
     wopt, fopt = es.result
+    wopt = lift_np(wopt)
 
     render = _cached_render(chain, sample_rate, x_full.shape[0],
                             normalize_stages)
@@ -493,16 +538,20 @@ def run_es(
 _BLOCK_RUNNER_CACHE: dict = {}
 
 
-def _block_runner_for(fitness, consts, k, crop_len, mesh):
-    """Cache jitted k-generation runners per (fitness program, k, crop)."""
-    key = (id(fitness), consts.N, consts.lam, k, crop_len, id(mesh))
+def _block_runner_for(fitness, impl, consts, k, crop_len, mesh,
+                      lift: bool = False):
+    """Cache jitted k-generation runners per (fitness program, width, k,
+    crop, lift); with lift the frozen template/offset flow through as
+    runner arguments, so one compiled runner serves every stage of a
+    staged run."""
+    key = (id(fitness), consts.N, consts.lam, k, crop_len, id(mesh), lift)
     if key not in _BLOCK_RUNNER_CACHE:
         from st_ito_tpu.ito.device_es import make_block_runner
 
         ws = NamedSharding(mesh, P("pop", None)) if mesh is not None else None
         _BLOCK_RUNNER_CACHE[key] = (
-            make_block_runner(fitness._impl, consts, k, crop_len=crop_len,
-                              w_sharding=ws),
+            make_block_runner(impl, consts, k, crop_len=crop_len,
+                              w_sharding=ws, lift=lift),
             fitness,  # pin: cache key is id()-based
             mesh,
         )
@@ -510,7 +559,8 @@ def _block_runner_for(fitness, consts, k, crop_len, mesh):
 
 
 def _run_es_device_loop(
-    fitness, fitness_nodrop, chain, x_full, target_embed,
+    fitness, fitness_nodrop, opt_width, lift_args, lift_np, x_full,
+    target_embed,
     target_content_embed, w0, sigma0, popsize, max_iters, dropout,
     gens_per_dispatch, random_crop, crop_len, eval_len, mesh,
     early_stop_patience, early_stop_threshold, verbose, es_state_path,
@@ -520,10 +570,12 @@ def _run_es_device_loop(
 
     Mutates fval_history/wopt_history in place (per-generation, same
     contents as the host loop); returns (wopt, fopt, total_evals).
+    ``lift_args`` (opt_slice support) is passed through to the runner as
+    data so a single compiled runner serves every stage of a staged run.
     """
     from st_ito_tpu.ito import device_es
 
-    consts = device_es.cma_consts(chain.num_params, popsize)
+    consts = device_es.cma_consts(opt_width, popsize)
     if es_resume_state is not None:
         state = device_es.state_from_dict(es_resume_state)
         if verbose:
@@ -548,11 +600,13 @@ def _run_es_device_loop(
     iters_without_improvement = 0
     while done < main_gens and not stopped:
         k = min(gens_per_dispatch, main_gens - done)
-        runner = _block_runner_for(fitness, consts, k, blk_crop, mesh)
+        runner = _block_runner_for(fitness, fitness._impl, consts, k,
+                                   blk_crop, mesh,
+                                   lift=lift_args is not None)
         jrng, sub = jax.random.split(jrng)
         state, stats = runner(state, fitness._model_params,
                               fitness._content_params, x_eval, target_embed,
-                              target_content_embed, sub)
+                              target_content_embed, sub, lift_args)
         gen_min = np.asarray(stats.gen_min_fval)
         best_f = np.asarray(stats.best_f)
         best_x = np.asarray(stats.best_x)
@@ -560,7 +614,7 @@ def _run_es_device_loop(
             prev_best = min(fval_history) if fval_history else None
             total_evals += popsize
             fval_history.append(float(best_f[j]))
-            wopt_history.append(best_x[j].astype(np.float64))
+            wopt_history.append(lift_np(best_x[j].astype(np.float64)))
             if verbose:
                 print(f"gen {done + j + 1:4d}  evals {total_evals:6d}  "
                       f"fbest {best_f[j]:+.6f}")
@@ -580,18 +634,23 @@ def _run_es_device_loop(
             np.savez(es_state_path, **device_es.state_to_dict(state))
 
     if dropout > 0.0 and not stopped and max_iters > 0:
-        runner = _block_runner_for(fitness_nodrop, consts, 1, blk_crop, mesh)
+        runner = _block_runner_for(fitness_nodrop, fitness_nodrop._impl,
+                                   consts, 1, blk_crop, mesh,
+                                   lift=lift_args is not None)
         jrng, sub = jax.random.split(jrng)
         state, stats = runner(state, fitness_nodrop._model_params,
                               fitness_nodrop._content_params, x_eval,
-                              target_embed, target_content_embed, sub)
+                              target_embed, target_content_embed, sub,
+                              lift_args)
         total_evals += popsize
         fval_history.append(float(np.asarray(stats.best_f)[0]))
-        wopt_history.append(np.asarray(stats.best_x)[0].astype(np.float64))
+        wopt_history.append(lift_np(
+            np.asarray(stats.best_x)[0].astype(np.float64)))
         if es_state_path is not None:
             np.savez(es_state_path, **device_es.state_to_dict(state))
 
-    wopt = wopt_history[-1] if wopt_history else np.asarray(w0, np.float64)
+    wopt = (wopt_history[-1] if wopt_history
+            else lift_np(np.asarray(w0, np.float64)))
     fopt = fval_history[-1] if fval_history else float("inf")
     return wopt, fopt, total_evals
 
@@ -738,54 +797,64 @@ def run_staged_es(
     seed: int = 0,
     mesh: Mesh | None = None,
     verbose: bool = True,
+    early_stop_patience: int = 10,
+    early_stop_threshold: float = -0.01,
+    savepop: bool = False,
+    run_dir: str = ".",
+    es_state_path: str | None = None,
+    gens_per_dispatch: int = 1,
     **kwargs,
 ):
-    """Optimize one stage at a time, freezing earlier stages at their optimum."""
-    input_audio = _peak_norm(input_audio)
-    target_audio = _peak_norm(target_audio)
-    target_embed = embed_func(target_audio, model, sample_rate)
+    """Optimize one stage at a time, freezing earlier stages at their
+    optimum (reference: scripts/run_optim.py:39-234).
 
-    x_full = input_audio[0]
-    fitness = make_fitness_fn(chain, model, sample_rate, x_full.shape[0],
-                              embed_func, dropout=dropout, mesh=mesh)
-
-    rng = np.random.default_rng(seed)
-    jrng = jax.random.PRNGKey(seed)
+    Each stage routes through run_es with ``opt_slice`` (the frozen-prefix
+    wrapper), so stages get the FULL ES loop: early-stop patience, savepop
+    (per-stage subdirectories), preemption-safe state snapshots (one
+    ``.stage{i}.npz`` per stage — a resumed run replays completed stages,
+    which early-stop immediately), and device-batched k-generation
+    dispatch."""
     w_full = np.asarray(chain.init_params(), np.float64)
-    fval_history = []
-    t_start = time.time()
+    fval_history: list[float] = []
+    wopt_history: list[np.ndarray] = []
     total_evals = 0
+    t_start = time.time()
 
     for stage_idx, (stage, start, end) in enumerate(chain.stage_slices()):
-        width = end - start
-        es = CMAES(w_full[start:end].copy(), sigma0, popsize=popsize,
-                   bounds=(0.0, 1.0), seed=seed + stage_idx)
-        for iteration in range(max_iters):
-            W_stage = es.ask()
-            W = np.tile(w_full, (popsize, 1))
-            W[:, start:end] = W_stage
-            jrng, sub = jax.random.split(jrng)
-            fvals = np.asarray(
-                fitness(jnp.asarray(W, jnp.float32), x_full, target_embed,
-                        None, sub)
-            )
-            total_evals += popsize
-            es.tell(W_stage, fvals)
-            fval_history.append(es.result[1])
-        w_full[start:end] = es.result[0]
+        res = run_es(
+            input_audio, target_audio, sample_rate, chain, model,
+            embed_func=embed_func, max_iters=max_iters, popsize=popsize,
+            sigma0=sigma0, dropout=dropout, find_w0=False,
+            w0=w_full[start:end].copy(), opt_slice=(start, end),
+            w_template=w_full, seed=seed + stage_idx, mesh=mesh,
+            verbose=False, early_stop_patience=early_stop_patience,
+            early_stop_threshold=early_stop_threshold, savepop=savepop,
+            run_dir=(os.path.join(run_dir, f"stage_{stage_idx}_{stage.name}")
+                     if savepop else run_dir),
+            es_state_path=(f"{es_state_path}.stage{stage_idx}.npz"
+                           if es_state_path else None),
+            gens_per_dispatch=gens_per_dispatch,
+            **kwargs,
+        )
+        w_full = np.asarray(res["wopt"], np.float64)
+        fval_history.extend(res["fval_history"])
+        wopt_history.extend(res["wopt_history"])
+        total_evals += res["total_evals"]
         if verbose:
-            print(f"stage {stage.name}: fbest {es.result[1]:+.5f}")
+            print(f"stage {stage.name}: fbest {res['fopt']:+.5f} "
+                  f"({len(res['fval_history'])} gens)")
 
     elapsed = time.time() - t_start
-    render = _cached_render(chain, sample_rate, x_full.shape[0])
-    output_audio = render(jnp.asarray(w_full, jnp.float32), x_full)[None]
+    render = _cached_render(chain, sample_rate, input_audio.shape[1])
+    output_audio = render(jnp.asarray(w_full, jnp.float32),
+                          _peak_norm(input_audio)[0])[None]
     return {
         "output_audio": output_audio,
         "params": parameters_to_dict(w_full, chain),
         "fopt": fval_history[-1] if fval_history else np.inf,
         "wopt": w_full,
         "fval_history": fval_history,
-        "wopt_history": [w_full],
+        "wopt_history": wopt_history,
         "time_elapsed": elapsed,
         "total_evals": total_evals,
         "evals_per_sec": total_evals / max(elapsed, 1e-9),

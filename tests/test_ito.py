@@ -380,4 +380,21 @@ def test_run_staged_es(mfcc_setup):
                            sigma0=0.3, seed=0, verbose=False)
     assert result["output_audio"].shape[1:] == y_target.shape[1:]
     assert len(result["fval_history"]) == 3 * len(chain.stages)
+    assert len(result["wopt_history"]) == 3 * len(chain.stages)
     assert np.isfinite(result["fopt"])
+
+
+def test_run_staged_es_early_stops_per_stage(monkeypatch):
+    """Each stage now runs the full ES loop (reference:
+    scripts/run_optim.py:39-234): a stalled stage stops at patience+2
+    generations instead of burning all max_iters."""
+    from st_ito_tpu.ito import run_staged_es
+
+    _patch_fitness(monkeypatch, lambda W: np.ones(W.shape[0]))
+    chain = _small_chain()
+    x = _test_signal(16384)
+    result = run_staged_es(x, x, SR, chain, None, embed_func=_zero_embed,
+                           max_iters=30, popsize=8, seed=0, verbose=False,
+                           early_stop_patience=3)
+    # gen 0 seeds the counter; gens 1..4 show no improvement -> 5 per stage
+    assert len(result["fval_history"]) == 5 * len(chain.stages)
