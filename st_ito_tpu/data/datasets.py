@@ -43,6 +43,8 @@ class NpzShardDataset:
         independent_crops: bool = True,
         num_workers: int = 0,
         buffer_batches: int = 8,
+        use_native: bool | None = None,
+        decode_threads: int = 4,
     ):
         self.paths = sorted(
             p for p in glob.glob(os.path.join(shard_dir, "shard_*.npz"))
@@ -64,29 +66,70 @@ class NpzShardDataset:
         self.independent_crops = independent_crops
         self.num_workers = num_workers
         self.buffer_batches = buffer_batches
+        self.decode_threads = decode_threads
+        if use_native is None:
+            from st_ito_tpu.native.io import io_available
 
-    def _crop(self, x: np.ndarray, rng) -> np.ndarray:
-        """Random crop/pad of the LAST axis, slicing before any dtype
-        widening (x may be the stored float16)."""
-        T = x.shape[-1]
+            use_native = io_available()
+        self.use_native = use_native
+
+    def _decode(self, inputs, outputs, rng):
+        """Crop + widen + gain + flip for one shard.
+
+        Crop positions and gains are drawn independently for inputs and
+        outputs (reference: dataset_param.py:176-201, 218-227); the LR flip
+        is drawn ONCE per example and applied to both sides jointly
+        (reference: dataset_param.py:230-232 — flipping only one side
+        would break the channel correspondence of the pair).
+
+        With the native engine available, the whole decode runs as one
+        multithreaded C++ pass per side (csrc/stito_io.cpp
+        stito_decode_shard) — the Python path is GIL-bound numpy."""
+        n, chs, T = inputs.shape
         L = self.length
-        if T == L:
-            return np.asarray(x, np.float32)
-        if T < L:
-            out = np.zeros(x.shape[:-1] + (L,), np.float32)
-            out[..., :T] = x
-            return out
-        s = int(rng.integers(0, T - L))
-        return np.asarray(x[..., s:s + L], np.float32)
-
-    def _augment(self, x: np.ndarray, rng) -> np.ndarray:
+        gains_i = gains_o = None
         if self.random_gain:
-            gain_db = -rng.random(x.shape[0]) * 32.0
-            x = x * (10 ** (gain_db / 20.0))[:, None, None].astype(np.float32)
-        if self.random_flip and x.shape[1] == 2:
-            flip = rng.random(x.shape[0]) < 0.5
-            x[flip] = x[flip][:, ::-1, :]
-        return x
+            gains_i = (10.0 ** (-rng.random(n) * 32.0 / 20.0)).astype(
+                np.float32)
+            gains_o = (10.0 ** (-rng.random(n) * 32.0 / 20.0)).astype(
+                np.float32)
+        flips = None
+        if self.random_flip and chs == 2:
+            flips = rng.random(n) < 0.5
+
+        def draw_starts():
+            if T <= L:
+                return np.zeros(n, np.int64)
+            if self.independent_crops:
+                return rng.integers(0, T - L, n).astype(np.int64)
+            return np.full(n, int(rng.integers(0, T - L)), np.int64)
+
+        si, so = draw_starts(), draw_starts()
+
+        if (self.use_native and T >= L and inputs.dtype == np.float16
+                and outputs.dtype == np.float16):
+            from st_ito_tpu.native.io import decode_shard
+
+            inputs = decode_shard(inputs, si, gains_i, flips, L,
+                                  self.decode_threads)
+            outputs = decode_shard(outputs, so, gains_o, flips, L,
+                                   self.decode_threads)
+            return inputs, outputs
+
+        def one(x, starts, gains):
+            if T < L:
+                y = np.zeros((n, chs, L), np.float32)
+                y[..., :T] = x
+            else:
+                y = np.stack([np.asarray(x[i, :, s:s + L], np.float32)
+                              for i, s in enumerate(starts)])
+            if gains is not None:
+                y = y * gains[:, None, None]
+            if flips is not None:
+                y[flips] = y[flips][:, ::-1, :]
+            return y
+
+        return one(inputs, si, gains_i), one(outputs, so, gains_o)
 
     def _shard_batches(self, path: str, rng) -> Iterator[dict]:
         """Decode one shard into full batches (the per-worker unit)."""
@@ -107,15 +150,7 @@ class NpzShardDataset:
             with np.load(logits_path) as dl:
                 logits = dl["logits"][perm].astype(np.float32)
 
-        if self.independent_crops:
-            inputs = np.stack([self._crop(x, rng) for x in inputs])
-            outputs = np.stack([self._crop(y, rng) for y in outputs])
-        else:
-            inputs = self._crop(inputs, rng)
-            outputs = self._crop(outputs, rng)
-
-        inputs = self._augment(inputs, rng)
-        outputs = self._augment(outputs, rng)
+        inputs, outputs = self._decode(inputs, outputs, rng)
 
         batch = {
             "inputs": inputs, "outputs": outputs,
