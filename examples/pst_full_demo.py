@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(_HERE))  # repo root (uninstalled runs)
 from train_demo import synth_sources  # noqa: E402
 
 
-def get_or_train_encoder(out_dir, sources, steps):
+def get_or_train_encoder(out_dir, sources, steps, num_examples=768):
     """Train the pretext encoder (once) and return the trained ParamModel."""
     import yaml
 
@@ -45,7 +45,8 @@ def get_or_train_encoder(out_dir, sources, steps):
         train_dir = os.path.join(out_dir, "data_train")
         if not os.path.isdir(train_dir):
             generate_pretext_dataset(sources[:20], bank, train_dir,
-                                     num_examples=768, length=131072,
+                                     num_examples=num_examples,
+                                     length=131072,
                                      examples_per_shard=64, seed=0)
         cfg = {
             "task": "pretext", "name": "pst-demo", "seed": 0,
@@ -122,6 +123,11 @@ def main():
     parser.add_argument("--style-steps", type=int, default=300)
     parser.add_argument("--es-iters", type=int, default=25)
     parser.add_argument("--popsize", type=int, default=128)
+    parser.add_argument("--sources-per-mode", type=int, default=2)
+    parser.add_argument("--data-examples", type=int, default=768)
+    parser.add_argument("--psm-distractors", type=int, default=5)
+    parser.add_argument("--psm-examples", type=int, default=32)
+    parser.add_argument("--gens-per-dispatch", type=int, default=1)
     args = parser.parse_args()
 
     from st_ito_tpu.compile_cache import enable_persistent_cache
@@ -132,7 +138,8 @@ def main():
     sources = synth_sources(n=28)
 
     # 1. trained benchmark metric
-    model = get_or_train_encoder(args.out, sources, args.encoder_steps)
+    model = get_or_train_encoder(args.out, sources, args.encoder_steps,
+                                 args.data_examples)
     print("trained encoder ready")
 
     from st_ito_tpu.eval.pst import default_methods, run_pst_benchmark
@@ -162,6 +169,7 @@ def main():
         chain, model, get_param_embeds, popsize=args.popsize,
         max_iters=args.es_iters,
         style_systems={"deepafx-st": sys_reg, "deepafx-st+": sys_audio},
+        gens_per_dispatch=args.gens_per_dispatch,
     )
     metrics = {
         "param": (model, get_param_embeds),
@@ -169,8 +177,9 @@ def main():
     }
 
     # 3. two contrived modes (tonal "music" vs percussive/noise "mixed")
-    tonal = [s for i, s in enumerate(sources[:12]) if i % 4 in (0, 1)][:2]
-    perc = [s for i, s in enumerate(sources[:12]) if i % 4 in (2, 3)][:2]
+    k = args.sources_per_mode
+    tonal = [s for i, s in enumerate(sources[:20]) if i % 4 in (0, 1)][:k]
+    perc = [s for i, s in enumerate(sources[:20]) if i % 4 in (2, 3)][:k]
     all_results = {}
     for mode, srcs in (("music", tonal), ("mixed", perc)):
         examples = synthesize_contrived_examples(
@@ -191,7 +200,8 @@ def main():
     quads = generate_psm_quadruplets(
         sources[20:], effect_names=["parametric_eq", "compressor",
                                     "distortion", "reverb"],
-        num_examples=32, num_distractors=5, length=131072, seed=7)
+        num_examples=args.psm_examples,
+        num_distractors=args.psm_distractors, length=131072, seed=7)
     psm = evaluate_metric_on_quadruplets(quads, model, get_param_embeds)
     print(f"PSM accuracy vs #distractors: {psm}")
 

@@ -144,14 +144,23 @@ def main(argv=None):
         model = load_mfcc_feature_extractor()
         embed_func = get_mfcc_feature_embeds
     else:
-        # CLAP metric (reference: run_optim.py:541-549): attempt the gated
-        # loader — it serves the weights when the local HF cache has them
-        # and raises with instructions otherwise.
+        # CLAP metric (reference: run_optim.py:541-549): the loader serves
+        # the native JAX tower when a converted checkpoint / HF cache is
+        # available (device-traceable fitness) and falls back to the
+        # host-side torch handle; raises with instructions otherwise.
+        from st_ito_tpu.models.clap_laion import ClapLaionModel
         from st_ito_tpu.models.registry import get_clap_embeds, load_clap_model
 
         model = load_clap_model()
-        embed_func = lambda x, m, sr, **kw: get_clap_embeds(  # noqa: E731
-            x, m, sr, midside=True)
+        if isinstance(model, ClapLaionModel):
+            from st_ito_tpu.models.clap_laion import (
+                get_clap_laion_embeds_midside as embed_func,
+            )
+        else:
+            def embed_func(x, m, sr, **kw):
+                return get_clap_embeds(x, m, sr, midside=True)
+
+            embed_func.host_side = True
 
     # ---- target ----
     if args.target in (None, "None", "none"):

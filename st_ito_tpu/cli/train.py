@@ -55,6 +55,14 @@ def _encoder_config(d: dict, encoder_type: str = "cnn14"):
         if "tower" in d:
             d["tower"] = _encoder_config(d["tower"], "htsat")
         return CLAPAudioConfig(**d)
+    if encoder_type == "clap-laion":
+        from st_ito_tpu.models.clap_laion import ClapLaionConfig
+
+        d = dict(d)
+        for k in ("depths", "heads"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return ClapLaionConfig(**d)
     from st_ito_tpu.models.cnn14 import Cnn14Config
 
     return Cnn14Config(**d)

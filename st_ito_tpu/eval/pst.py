@@ -100,7 +100,8 @@ def run_pst_benchmark(
 
 
 def default_methods(chain, model, embed_func, popsize=128, max_iters=32,
-                    sigma0=0.33, seed=0, style_systems: dict | None = None):
+                    sigma0=0.33, seed=0, style_systems: dict | None = None,
+                    gens_per_dispatch: int = 1):
     """The reference benchmark's method set (reference: eval_pst.py:944-1012):
     input / random / rule-based / deepafx-st / deepafx-st+ / style-es.
 
@@ -135,6 +136,7 @@ def default_methods(chain, model, embed_func, popsize=128, max_iters=32,
             x, y, sr, chain, model, embed_func=embed_func,
             max_iters=max_iters, popsize=popsize, sigma0=sigma0,
             random_crop=True, find_w0=False, seed=seed, verbose=False,
+            gens_per_dispatch=gens_per_dispatch,
         )
     }
     return methods

@@ -239,11 +239,37 @@ class ClapModelHandle:
 def load_clap_model(
     use_gpu: bool = False,
     model_id: str = "laion/clap-htsat-unfused",
-) -> ClapModelHandle:
-    """LAION-CLAP via transformers (torch, host-side — an eval-only metric
-    baseline like the reference's). Requires the weights in the local HF
-    cache; this environment has no network egress, so a missing cache
-    raises with instructions."""
+    ckpt_path: str | None = "checkpoints/clap-htsat-unfused.pt",
+    native: bool = True,
+):
+    """LAION-CLAP. Preference order:
+    1. the NATIVE JAX tower (models/clap_laion.py, twin-parity-tested vs
+       transformers) converted from a local state_dict at ``ckpt_path``,
+    2. the native tower converted from the HF cache (torch touched only
+       at load time),
+    3. the torch host-side ClapModel handle (HF cache),
+    else raises — no network egress here."""
+    if native:
+        from st_ito_tpu.models.clap_laion import (
+            ClapLaionModel,
+            convert_clap_laion_state_dict,
+            load_clap_laion_model,
+        )
+
+        try:
+            return load_clap_laion_model(ckpt_path=ckpt_path)
+        except (FileNotFoundError, KeyError):
+            pass
+        try:
+            from transformers import ClapModel
+
+            # cache-local: no 5x network retries in offline environments
+            m = ClapModel.from_pretrained(model_id, local_files_only=True)
+            params = jax.tree_util.tree_map(
+                jnp.asarray, convert_clap_laion_state_dict(m.state_dict()))
+            return ClapLaionModel(params=params)
+        except (OSError, ImportError, KeyError, EnvironmentError):
+            pass
     try:
         from transformers import ClapModel, ClapProcessor
 
@@ -252,8 +278,9 @@ def load_clap_model(
     except (OSError, ImportError) as e:
         raise FileNotFoundError(
             f"CLAP weights for {model_id} not available locally "
-            f"(offline environment). Pre-populate the HF cache or use "
-            f"--metric param/mfcc. Original error: {e}"
+            f"(offline environment). Pre-populate the HF cache, drop a "
+            f"state_dict at {ckpt_path}, or use --metric param/mfcc. "
+            f"Original error: {e}"
         ) from e
     model.eval()
     return ClapModelHandle(model=model, processor=processor)
@@ -261,13 +288,21 @@ def load_clap_model(
 
 def get_clap_embeds(
     x: jnp.ndarray,
-    model: ClapModelHandle,
+    model,
     sample_rate: float,
     midside: bool = False,
     **kwargs,
 ) -> dict[str, jnp.ndarray]:
     """CLAP audio embeddings; mono (or mid/side heads with midside=True),
-    L2-normalized (reference: st_ito/utils.py:389-438)."""
+    L2-normalized (reference: st_ito/utils.py:389-438). Dispatches to the
+    native JAX tower (fully traceable) or the torch handle."""
+    from st_ito_tpu.models.clap_laion import ClapLaionModel
+
+    if isinstance(model, ClapLaionModel):
+        from st_ito_tpu.models.clap_laion import get_clap_laion_embeds
+
+        return get_clap_laion_embeds(x, model, sample_rate, midside=midside,
+                                     **kwargs)
     import torch
 
     bs, chs, _ = x.shape

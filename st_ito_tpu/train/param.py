@@ -74,6 +74,14 @@ def _encoder_init(key, cfg: "ParamEstimatorConfig"):
         from st_ito_tpu.models.clap import init_clap_audio_params
 
         return init_clap_audio_params(key, cfg.encoder)
+    if cfg.encoder_type == "clap-laion":
+        # the "-pt" variant: initialize from the converted LAION checkpoint
+        # when present, else random (== training from scratch)
+        from st_ito_tpu.models.clap_laion import load_clap_laion_model
+
+        return load_clap_laion_model(
+            ckpt_path=cfg.encoder.ckpt_path, allow_random=True,
+            seed=int(jax.random.randint(key, (), 0, 2**31 - 1))).params
     raise ValueError(f"unknown encoder_type: {cfg.encoder_type}")
 
 
@@ -103,6 +111,13 @@ def _encoder_apply(params, x, cfg: "ParamEstimatorConfig", training, rng,
 
         out = clap_audio_apply(params, x, cfg.encoder, training=training,
                                rng=rng)
+    elif cfg.encoder_type == "clap-laion":
+        # checkpoint-faithful LAION tower (input BN stays on its frozen
+        # running stats — no stats to merge)
+        from st_ito_tpu.models.clap_laion import clap_laion_pretext_apply
+
+        out = clap_laion_pretext_apply(params, x, cfg.encoder,
+                                       training=training, rng=rng)
     else:
         # HTS-AT is LayerNorm-only — no running statistics exist
         from st_ito_tpu.models.htsat import htsat_apply

@@ -311,3 +311,84 @@ def test_wav2clip_converter_parity():
             params, jnp.asarray(spec.numpy())))
     scale = max(1.0, np.abs(ref).max())
     np.testing.assert_allclose(out, ref, atol=5e-4 * scale)
+
+
+# ----------------------------------------------------------------------
+# LAION-CLAP audio tower (HTSAT-unfused) vs transformers' ClapModel
+# (reference: st_ito/models/clap.py:6-42, utils.py:389-438). transformers
+# is installed, so the twin here is the REAL HF module with random
+# weights — the exact graph the released checkpoint loads into.
+# ----------------------------------------------------------------------
+
+
+def test_clap_laion_tower_parity_with_transformers():
+    transformers = pytest.importorskip("transformers")
+    from transformers import ClapAudioConfig
+    from transformers.models.clap.modeling_clap import (
+        ClapAudioModelWithProjection,
+    )
+
+    from st_ito_tpu.models.clap_laion import (
+        ClapLaionConfig,
+        clap_audio_tower,
+        convert_clap_laion_state_dict,
+    )
+
+    torch.manual_seed(5)
+    hf_cfg = ClapAudioConfig(
+        spec_size=64, num_mel_bins=16, patch_size=4, patch_stride=[4, 4],
+        window_size=4, depths=[1, 2, 1], num_attention_heads=[2, 4, 2],
+        patch_embeds_hidden_size=16, hidden_size=64, projection_dim=32,
+        enable_fusion=False)
+    twin = ClapAudioModelWithProjection(hf_cfg).eval()
+    # move BN stats off init so the conversion is actually exercised
+    with torch.no_grad():
+        twin.audio_model.audio_encoder.batch_norm.running_mean.uniform_(-1, 1)
+        twin.audio_model.audio_encoder.batch_norm.running_var.uniform_(0.5, 2)
+
+    # time = spec_size * freq_ratio -> no interpolation inside the model
+    feats = torch.randn(2, 1, 64 * 4, 16)
+    with torch.no_grad():
+        out = twin(input_features=feats)
+        ref = out.audio_embeds.numpy()
+
+    cfg = ClapLaionConfig(spec_size=64, n_mels=16, patch=4, window=4,
+                          depths=(1, 2, 1), heads=(2, 4, 2), patch_dim=16,
+                          hidden=64, proj_dim=32)
+    params = convert_clap_laion_state_dict(twin.state_dict(), cfg)
+    _, proj = jax.jit(
+        lambda p, f: clap_audio_tower(p, f, cfg))(params,
+                                                  jnp.asarray(feats.numpy()))
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(proj), ref, atol=5e-4 * scale)
+
+
+def test_clap_laion_mel2img_interpolation_matches_torch():
+    from st_ito_tpu.models.clap_laion import ClapLaionConfig, reshape_mel2img
+
+    torch.manual_seed(6)
+    cfg = ClapLaionConfig(spec_size=64, n_mels=16)
+    feats = torch.randn(2, 1, 101, 16)  # 101 < 256 frames -> interpolation
+    ref = torch.nn.functional.interpolate(
+        feats, (64 * 4, 16), mode="bicubic", align_corners=True)
+    b, c, t, f = ref.shape
+    r = cfg.freq_ratio
+    ref = ref.reshape(b, c * r, t // r, f).permute(0, 1, 3, 2).reshape(
+        b, c, f * r, t // r).numpy()
+    got = np.asarray(reshape_mel2img(jnp.asarray(feats.numpy()), cfg))
+    np.testing.assert_allclose(got, ref, atol=1e-4)  # f32 matmul roundoff
+
+
+def test_clap_laion_mel_frontend_matches_hf_extractor():
+    transformers = pytest.importorskip("transformers")
+    from transformers import ClapFeatureExtractor
+
+    from st_ito_tpu.models.clap_laion import ClapLaionConfig, clap_mel
+
+    fe = ClapFeatureExtractor(frequency_min=50, frequency_max=14000)
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(48000 * 2) * 0.2).astype(np.float32)
+    ref = fe._np_extract_fbank_features(x, fe.mel_filters_slaney)
+    got = np.asarray(clap_mel(jnp.asarray(x)[None], ClapLaionConfig())[0])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-2)

@@ -97,3 +97,61 @@ def test_registry_rows_wired():
         METRICS["wav2clip"][0]()
     with pytest.raises(FileNotFoundError):
         METRICS["vggish"][0]()
+
+
+# ------------------------- LAION-CLAP native tower ------------------------
+
+
+def _small_clap():
+    from st_ito_tpu.models.clap_laion import (
+        ClapLaionConfig,
+        ClapLaionModel,
+        init_clap_laion_params,
+    )
+
+    cfg = ClapLaionConfig(spec_size=64, n_mels=16, patch=4, window=4,
+                          depths=(1, 2, 1), heads=(2, 4, 2), patch_dim=16,
+                          hidden=64, proj_dim=32, max_samples=48000)
+    params = init_clap_laion_params(jax.random.PRNGKey(0), cfg)
+    return ClapLaionModel(params=params, config=cfg, embed_dim=32)
+
+
+def test_clap_laion_embeds_mono_and_midside():
+    from st_ito_tpu.models.clap_laion import get_clap_laion_embeds
+
+    model = _small_clap()
+    x = jnp.asarray(RNG.standard_normal((2, 2, 48000)).astype(np.float32))
+    out = get_clap_laion_embeds(x, model, 48000)
+    e = np.asarray(out["mono"])
+    assert e.shape == (2, 32) and np.isfinite(e).all()
+    np.testing.assert_allclose(np.linalg.norm(e, axis=-1), 1.0, atol=1e-5)
+    ms = get_clap_laion_embeds(x, model, 48000, midside=True)
+    assert set(ms) == {"mid", "side"}
+    assert np.asarray(ms["mid"]).shape == (2, 32)
+    # shorter audio exercises repeatpad; different rate exercises resample
+    short = get_clap_laion_embeds(x[..., :20000], model, 44100)
+    assert np.isfinite(np.asarray(short["mono"])).all()
+
+
+def test_clap_laion_pretext_apply_interface():
+    from st_ito_tpu.models.clap_laion import clap_laion_pretext_apply
+
+    model = _small_clap()
+    x = jnp.asarray(RNG.standard_normal((3, 2, 24000)).astype(np.float32))
+    mid, side = jax.jit(
+        lambda p, xx: clap_laion_pretext_apply(p, xx, model.config)
+    )(model.params, x)
+    assert mid.shape == (3, 32) and side.shape == (3, 32)
+    assert np.isfinite(np.asarray(mid)).all()
+    # mono input duplicates mid as side
+    m2, s2 = clap_laion_pretext_apply(model.params, x[:, :1], model.config)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(s2))
+
+
+def test_clap_metric_registry_dispatch():
+    from st_ito_tpu.models.registry import get_clap_embeds
+
+    model = _small_clap()
+    x = jnp.asarray(RNG.standard_normal((1, 2, 48000)).astype(np.float32))
+    out = get_clap_embeds(x, model, 48000, midside=True)
+    assert set(out) == {"mid", "side"}
