@@ -95,6 +95,13 @@ def main(argv=None):
                         choices=["param", "clap", "mfcc"])
     # extensions beyond the reference surface:
     parser.add_argument("--sigma0", type=float, default=0.33)
+    parser.add_argument("--chunked", action="store_true",
+                        help="long-audio mode: optimize the full signal "
+                             "with overlap-chunked embeddings instead of "
+                             "cropping to --max-length")
+    parser.add_argument("--gens-per-dispatch", type=int, default=1,
+                        help=">1 runs the CMA-ES on device, this many "
+                             "generations per dispatch")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output-dir", type=str, default="output/optim")
     parser.add_argument("--allow-random-model", action="store_true",
@@ -226,7 +233,8 @@ def main(argv=None):
             popsize=args.popsize, find_w0=True, sigma0=sigma0,
             distance="cosine", dropout=args.dropout, savepop=args.savepop,
             normalize_stages=args.normalize_stages, run_dir=run_dir,
-            seed=args.seed, mesh=mesh,
+            seed=args.seed, mesh=mesh, chunked=args.chunked,
+            gens_per_dispatch=args.gens_per_dispatch,
         )
 
     # ---- save results ----

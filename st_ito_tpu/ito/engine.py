@@ -262,6 +262,42 @@ _crop_or_pad = jax.jit(_crop_or_pad_impl, static_argnames=("crop_len",))
 
 _peak_norm = jax.jit(lambda x: x / jnp.maximum(jnp.max(jnp.abs(x)), 1e-8))
 
+_CHUNKED_EMBED_CACHE: dict = {}
+
+
+def _chunked_embed_for(base_embed: Callable, chunk_len: int,
+                       hop: int | None = None) -> Callable:
+    """Generic long-audio wrapper: overlap-chunk, embed all chunks as one
+    batch through ``base_embed``, average, re-normalize (the param-model
+    specific version: registry.get_param_embeds_chunked; reference handles
+    long audio by cropping instead, style_transfer.py:505-518). Cached per
+    (base, chunk_len, hop) so repeated run_es calls reuse the same
+    function identity (and thus the same compiled fitness program)."""
+    key = (base_embed, chunk_len, hop)
+    if key in _CHUNKED_EMBED_CACHE:
+        return _CHUNKED_EMBED_CACHE[key]
+    h = hop or chunk_len
+
+    def chunked(x, model, sample_rate, **kwargs):
+        bs, chs, T = x.shape
+        if T <= chunk_len:
+            return base_embed(x, model, sample_rate, **kwargs)
+        n_chunks = (T - chunk_len) // h + 1
+        chunks = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(x, i * h, chunk_len, axis=-1)
+             for i in range(n_chunks)], axis=1)
+        chunks = chunks.reshape(bs * n_chunks, chs, chunk_len)
+        e = base_embed(chunks, model, sample_rate, **kwargs)
+        out = {}
+        for k, v in e.items():
+            v = v.reshape(bs, n_chunks, -1).mean(axis=1)
+            out[k] = v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        return out
+
+    _CHUNKED_EMBED_CACHE[key] = chunked
+    return chunked
+
 
 @jax.jit
 def _lift_slice_impl(template, W, s0):
@@ -316,6 +352,7 @@ def run_es(
     gens_per_dispatch: int = 1,
     opt_slice: tuple[int, int] | None = None,
     w_template: np.ndarray | None = None,
+    chunked: bool = False,
     **kwargs,
 ):
     """CMA-ES inference-time optimization
@@ -326,6 +363,13 @@ def run_es(
     chain init). This is the frozen-prefix mechanism run_staged_es uses
     to give every stage the full ES loop (reference staged runner:
     scripts/run_optim.py:39-234). ``w0`` is then slice-width.
+
+    ``chunked=True`` (long-audio mode, BASELINE config 5): instead of the
+    reference's random ``crop_len`` window (style_transfer.py:505-518),
+    render every candidate on the FULL input and score it with
+    overlap-chunked embeddings of length ``crop_len`` averaged over the
+    signal — minutes-long audio optimizes end-to-end with the embed
+    program compiled once at the chunk length.
 
     input_audio/target_audio: (1, C, T). Returns the reference's result dict
     plus timing/throughput statistics.
@@ -345,6 +389,10 @@ def run_es(
     """
     rng = np.random.default_rng(seed)
     jrng = jax.random.PRNGKey(seed)
+
+    if chunked:
+        embed_func = _chunked_embed_for(embed_func, chunk_len=crop_len)
+        random_crop = False
 
     input_audio = _peak_norm(input_audio)
     target_audio = _peak_norm(target_audio)
@@ -377,7 +425,10 @@ def run_es(
             return w
     x_full = input_audio[0]  # (C, T)
     T = x_full.shape[-1]
-    eval_len = min(T, crop_len) if not random_crop else crop_len
+    if chunked:
+        eval_len = T  # full signal; embeddings chunk at crop_len
+    else:
+        eval_len = min(T, crop_len) if not random_crop else crop_len
 
     fitness = make_fitness_fn(
         chain, model, sample_rate, x_full.shape[0], embed_func,
@@ -819,6 +870,11 @@ def run_staged_es(
     wopt_history: list[np.ndarray] = []
     total_evals = 0
     t_start = time.time()
+
+    # per-stage starts are always the frozen template slice; drop caller
+    # keys that would collide with the explicit per-stage arguments
+    for k in ("find_w0", "w0", "opt_slice", "w_template"):
+        kwargs.pop(k, None)
 
     for stage_idx, (stage, start, end) in enumerate(chain.stage_slices()):
         res = run_es(

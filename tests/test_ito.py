@@ -364,6 +364,33 @@ def test_run_es_device_blocks_dropout_final_gen(mfcc_setup):
     assert np.isfinite(result["fopt"])
 
 
+def test_run_es_chunked_long_audio(mfcc_setup):
+    """chunked=True (BASELINE config 5): a 2x-crop_len input optimizes on
+    the FULL signal via overlap-chunked embeddings (reference crops
+    instead, style_transfer.py:505-518)."""
+    model, embed_func = mfcc_setup
+    chain = _small_chain()
+    L = 16384
+    x = _test_signal(2 * L)  # twice the chunk length
+    render = build_render_fn(chain, SR, 1)
+    w_target = jnp.asarray(
+        RNG.uniform(0.25, 0.75, chain.num_params).astype(np.float32))
+    y_target = render(w_target, x[0])[None]
+
+    result = run_es(x, y_target, SR, chain, model, embed_func=embed_func,
+                    max_iters=8, popsize=12, sigma0=0.3, crop_len=L,
+                    chunked=True, find_w0=False, seed=0, verbose=False,
+                    gens_per_dispatch=4)
+    # output covers the FULL length, not the crop
+    assert result["output_audio"].shape[-1] == 2 * L
+    assert result["fopt"] <= result["fval_history"][0] + 1e-9
+    # the chunked wrapper is cached: a second build reuses the identity
+    from st_ito_tpu.ito.engine import _chunked_embed_for
+
+    assert _chunked_embed_for(embed_func, L) is _chunked_embed_for(
+        embed_func, L)
+
+
 def test_run_staged_es(mfcc_setup):
     """Per-stage CMA-ES with earlier stages frozen at their optimum
     (reference: scripts/run_optim.py:39-234)."""
