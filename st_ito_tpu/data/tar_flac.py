@@ -136,3 +136,52 @@ class TarFlacDataset:
     def close(self):
         for f in self._files:
             f.close()
+
+
+def export_shards_to_tar(shard_dir: str, out_tar: str,
+                         sample_rate: int = 48000, mode: int = 2) -> int:
+    """Export an npz shard directory (data/datagen.py output) to the
+    reference's published tar-of-FLAC layout: one directory member per
+    example with input.flac, proc.flac and details.json
+    (reference: st_ito/dataset/dataset_param.py tar format;
+    scripts/data/vst_datagen*.py producers). mode 2 = mid/side FLAC.
+    Returns the number of exported examples."""
+    import glob
+    import io as _io
+    import tarfile
+
+    import numpy as np
+
+    from st_ito_tpu.native.io import flac_encode
+
+    paths = sorted(p for p in glob.glob(os.path.join(shard_dir, "shard_*.npz"))
+                   if not p.endswith("_logits.npz"))
+    if not paths:
+        raise FileNotFoundError(f"no shards in {shard_dir}")
+    n = 0
+    with tarfile.open(out_tar, "w") as tf:
+        for path in paths:
+            with np.load(path) as d:
+                inputs = np.asarray(d["inputs"], np.float32)
+                outputs = np.asarray(d["outputs"], np.float32)
+                inst = np.asarray(d["instance_index"])
+                pre = np.asarray(d["preset_index"])
+                tar_ids = np.asarray(d["tar_index"])
+            for i in range(len(inputs)):
+                prefix = f"ex{n:06d}"
+                members = {
+                    f"{prefix}/input.flac":
+                        flac_encode(inputs[i], sample_rate, mode=mode),
+                    f"{prefix}/proc.flac":
+                        flac_encode(outputs[i], sample_rate, mode=mode),
+                    f"{prefix}/details.json": json.dumps({
+                        "instance": int(inst[i]), "preset": int(pre[i]),
+                        "dataset": int(tar_ids[i]),
+                    }).encode(),
+                }
+                for name, payload in members.items():
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(payload)
+                    tf.addfile(ti, _io.BytesIO(payload))
+                n += 1
+    return n
