@@ -664,9 +664,12 @@ static inline float half_to_float(uint16_t h) {
 }
 
 // in: (n, chs, T) float16. out: (n, chs, crop_len) float32 with
-// out[i, c] = gain[i] * in[i, maybe-swapped c, start[i] : start[i]+crop_len].
+// out[i, c] = gain[i] * in[order[i], maybe-swapped c, start[i] : +crop_len]
+// (order == nullptr -> identity; fuses the shuffle into the decode so the
+// host never materializes a permuted copy of the shard).
 extern "C" int stito_decode_shard(const uint16_t* in, int64_t n, int64_t chs,
-                                  int64_t T, const int64_t* starts,
+                                  int64_t T, const int64_t* order,
+                                  const int64_t* starts,
                                   const float* gains, const uint8_t* flips,
                                   int64_t crop_len, float* out,
                                   int nthreads) {
@@ -674,11 +677,12 @@ extern "C" int stito_decode_shard(const uint16_t* in, int64_t n, int64_t chs,
   if (nthreads < 1) nthreads = 1;
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; i++) {
+      int64_t src_i = order ? order[i] : i;
       float g = gains ? gains[i] : 1.0f;
       int flip = (flips && chs == 2) ? flips[i] : 0;
       for (int64_t c = 0; c < chs; c++) {
         int64_t src_c = flip ? (chs - 1 - c) : c;
-        const uint16_t* src = in + (i * chs + src_c) * T + starts[i];
+        const uint16_t* src = in + (src_i * chs + src_c) * T + starts[i];
         float* dst = out + (i * chs + c) * crop_len;
         for (int64_t t = 0; t < crop_len; t++)
           dst[t] = half_to_float(src[t]) * g;

@@ -72,8 +72,31 @@ class NpzShardDataset:
 
             use_native = io_available()
         self.use_native = use_native
+        # Reused decode scratch (triple-buffered by shard counter): fresh
+        # 60+ MB allocations per shard cost ~5x the decode itself in
+        # first-touch page faults under sustained load on this host class.
+        # Yielded batches are VIEWS into these buffers, valid until the
+        # shard after next — fine for bounded prefetch (<= 1 shard deep).
+        self._byte_scratch: dict = {}
+        self._f32_scratch: dict = {}
+        self._shard_counter = 0
 
-    def _decode(self, inputs, outputs, rng):
+    def _bytes_buf(self, side: str):
+        from st_ito_tpu.native.io import ByteScratch
+
+        # keyed per worker thread: parallel shard decodes must not share
+        key = (side, threading.get_ident(), self._shard_counter % 3)
+        if key not in self._byte_scratch:
+            self._byte_scratch[key] = ByteScratch()
+        return self._byte_scratch[key]
+
+    def _f32_buf(self, side: str, shape) -> np.ndarray:
+        key = (side, threading.get_ident(), self._shard_counter % 3, shape)
+        if key not in self._f32_scratch:
+            self._f32_scratch[key] = np.empty(shape, np.float32)
+        return self._f32_scratch[key]
+
+    def _decode(self, inputs, outputs, rng, order=None):
         """Crop + widen + gain + flip for one shard.
 
         Crop positions and gains are drawn independently for inputs and
@@ -111,10 +134,15 @@ class NpzShardDataset:
             from st_ito_tpu.native.io import decode_shard
 
             inputs = decode_shard(inputs, si, gains_i, flips, L,
-                                  self.decode_threads)
+                                  self.decode_threads, order=order,
+                                  out=self._f32_buf("in", (n, chs, L)))
             outputs = decode_shard(outputs, so, gains_o, flips, L,
-                                   self.decode_threads)
+                                   self.decode_threads, order=order,
+                                   out=self._f32_buf("out", (n, chs, L)))
             return inputs, outputs
+
+        if order is not None:  # non-native path shuffles up front
+            inputs, outputs = inputs[order], outputs[order]
 
         def one(x, starts, gains):
             if T < L:
@@ -132,15 +160,27 @@ class NpzShardDataset:
         return one(inputs, si, gains_i), one(outputs, so, gains_o)
 
     def _shard_batches(self, path: str, rng) -> Iterator[dict]:
-        """Decode one shard into full batches (the per-worker unit)."""
+        """Decode one shard into full batches (the per-worker unit). The
+        shuffle is fused into the native decode (no permuted copies of the
+        stored float16 arrays)."""
+        self._shard_counter += 1
+        native = self.use_native
         with np.load(path) as d:
-            inputs = d["inputs"]
-            outputs = d["outputs"]
+            if native:
+                from st_ito_tpu.native.io import npz_member_into
+
+                # zero-copy views into reused byte scratch
+                inputs = npz_member_into(path, "inputs",
+                                         self._bytes_buf("in"))
+                outputs = npz_member_into(path, "outputs",
+                                          self._bytes_buf("out"))
+            else:
+                inputs = d["inputs"]
+                outputs = d["outputs"]
             inst = d["instance_index"]
             pre = d["preset_index"]
             tar = d["tar_index"]
             perm = rng.permutation(len(inputs))
-            inputs, outputs = inputs[perm], outputs[perm]
             inst, pre, tar = inst[perm], pre[perm], tar[perm]
         # precomputed AST logits for the adversarial "classifier" mode
         # (scripts/label_audio.py; reference: dataset_param.py:88-93)
@@ -150,7 +190,7 @@ class NpzShardDataset:
             with np.load(logits_path) as dl:
                 logits = dl["logits"][perm].astype(np.float32)
 
-        inputs, outputs = self._decode(inputs, outputs, rng)
+        inputs, outputs = self._decode(inputs, outputs, rng, order=perm)
 
         batch = {
             "inputs": inputs, "outputs": outputs,

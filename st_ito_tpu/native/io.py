@@ -60,8 +60,8 @@ def load_io_library() -> ctypes.CDLL:
     lib.stito_decode_shard.restype = c.c_int
     lib.stito_decode_shard.argtypes = [
         c.POINTER(c.c_uint16), c.c_int64, c.c_int64, c.c_int64,
-        c.POINTER(c.c_int64), c.POINTER(c.c_float), c.POINTER(c.c_uint8),
-        c.c_int64, c.POINTER(c.c_float), c.c_int]
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.POINTER(c.c_float),
+        c.POINTER(c.c_uint8), c.c_int64, c.POINTER(c.c_float), c.c_int]
     _LIB = lib
     return lib
 
@@ -161,6 +161,50 @@ def npz_member(path: str, name: str) -> np.ndarray:
     raise OSError(f"npz read failed for {path}:{name}")
 
 
+class ByteScratch:
+    """Growable reusable byte buffer (numpy views pin a bytearray against
+    in-place resize, so growth swaps in a fresh allocation instead)."""
+
+    def __init__(self, size: int = 1 << 20):
+        self.buf = bytearray(size)
+
+    def ensure(self, size: int) -> None:
+        if len(self.buf) < size:
+            self.buf = bytearray(size)
+
+
+def npz_member_into(path: str, name: str, scratch: ByteScratch) -> np.ndarray:
+    """Read an npz member through the native zip reader into a REUSED
+    scratch and return a zero-copy ndarray view into it (valid until the
+    scratch is reused). Avoids the two fresh 30+ MB allocations per member
+    of the np.load path, which cost ~5x the read itself in first-touch
+    page faults under sustained load on this host class."""
+    import numpy.lib.format as npf
+
+    lib = load_io_library()
+    for _ in range(2):
+        buf = np.frombuffer(scratch.buf, np.uint8)
+        n = lib.stito_npz_member(
+            path.encode(), name.encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(scratch.buf))
+        if n >= 0:
+            break
+        if n == -1:
+            raise KeyError(f"{name} not in {path}")
+        del buf
+        scratch.ensure(-n)
+    else:
+        raise OSError(f"npz read failed for {path}:{name}")
+    bio = _io.BytesIO(buf[:1024].tobytes())
+    version = npf.read_magic(bio)
+    shape, fortran, dtype = npf._read_array_header(bio, version)
+    offset = bio.tell()
+    count = int(np.prod(shape)) if shape else 1
+    arr = np.frombuffer(scratch.buf, dtype=dtype, count=count, offset=offset)
+    return arr.reshape(shape, order="F" if fortran else "C")
+
+
 def decode_shard(
     data_f16: np.ndarray,
     starts: np.ndarray,
@@ -168,15 +212,28 @@ def decode_shard(
     flips: np.ndarray | None,
     crop_len: int,
     nthreads: int = 4,
+    order: np.ndarray | None = None,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Fused crop + f16->f32 widen + gain + LR flip over a whole shard.
-    data_f16: (n, chs, T) float16. Runs multithreaded in C++ with the GIL
-    released. Returns (n, chs, crop_len) float32."""
+    """Fused shuffle + crop + f16->f32 widen + gain + LR flip over a whole
+    shard. data_f16: (n, chs, T) float16; order optionally permutes
+    examples during the decode. Runs in C++ with the GIL released.
+
+    Pass a reused ``out`` buffer where possible: on this box a fresh 67 MB
+    allocation costs ~5x the decode itself in first-touch page faults
+    under sustained load (measured 552 vs 104 ms/shard)."""
     lib = load_io_library()
     n, chs, T = data_f16.shape
     data_f16 = np.ascontiguousarray(data_f16)
     starts = np.ascontiguousarray(starts, np.int64)
-    out = np.empty((n, chs, crop_len), np.float32)
+    if out is None:
+        out = np.empty((n, chs, crop_len), np.float32)
+    else:
+        assert out.shape == (n, chs, crop_len) and out.dtype == np.float32
+    order_arr = (np.ascontiguousarray(order, np.int64)
+                 if order is not None else None)
+    o_ptr = (order_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+             if order_arr is not None else None)
     # hold converted arrays in locals: ctypes pointers into temporaries
     # would dangle before the call
     g_arr = (np.ascontiguousarray(gains, np.float32)
@@ -190,7 +247,7 @@ def decode_shard(
     rc = lib.stito_decode_shard(
         data_f16.view(np.uint16).ctypes.data_as(
             ctypes.POINTER(ctypes.c_uint16)),
-        n, chs, T,
+        n, chs, T, o_ptr,
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         g_ptr, f_ptr, crop_len,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nthreads)
