@@ -1,0 +1,64 @@
+"""Regenerate the committed PST-demo figures + method table from summary.json.
+
+    python examples/pst_demo_figs.py [--out examples/pst_demo_full]
+
+Writes pst_music.png / pst_mixed.png / psm.png next to summary.json and
+prints a per-mode method table (mean param/mfcc similarity, wall-clock)
+so the committed artifact is self-describing.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", type=str, default="examples/pst_demo_full")
+    args = parser.parse_args()
+
+    from st_ito_tpu.eval.plots import plot_psm_results, plot_pst_results
+
+    with open(os.path.join(args.out, "summary.json")) as f:
+        summary = json.load(f)
+
+    for mode, results in summary["pst"].items():
+        plot_pst_results(results,
+                         os.path.join(args.out, f"pst_{mode}.png"))
+        print(f"\n== mode {mode} ==")
+        methods: dict = {}
+        for ex in results.values():
+            for m, entry in ex.items():
+                methods.setdefault(m, []).append(entry)
+        hdr = f"{'method':<16}{'param_sim':>10}{'mfcc_sim':>10}{'sec':>8}"
+        print(hdr)
+        for m, entries in methods.items():
+            p = np.mean([e["param_sim"] for e in entries])
+            f_ = np.mean([e["mfcc_sim"] for e in entries])
+            t = np.mean([e["time_elapsed"] for e in entries])
+            print(f"{m:<16}{p:>10.4f}{f_:>10.4f}{t:>8.1f}")
+
+    psm = summary.get("psm_vs_distractors")
+    if psm:
+        curves = {"param (trained)": psm}
+        if summary.get("psm_vs_distractors_mfcc"):
+            curves["mfcc (baseline)"] = summary["psm_vs_distractors_mfcc"]
+        plot_psm_results({"pretext": curves},
+                         os.path.join(args.out, "psm.png"))
+        print("\npsm accuracy:", psm["accuracy_by_distractors"])
+
+    noise = summary.get("style_es_seed_noise")
+    if noise:
+        print("\nstyle-es seed noise (per-example std of param_sim):")
+        for mode, stats in noise.items():
+            print(f"  {mode}: mean {stats['mean_std']:.4f} "
+                  f"max {stats['max_std']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

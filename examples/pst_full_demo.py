@@ -101,10 +101,14 @@ def train_style_system(chain, loss_type, sources, steps, batch_size=4,
     step_fn = system.make_train_step()
     rng = jax.random.PRNGKey(seed + 1)
     np_rng = np.random.default_rng(seed)
-    pool = np.stack([s[..., :T] for s in sources])
+    # the axon relay never frees host mirrors of uploaded buffers
+    # (PERF_NOTES.md "Relay host-memory leak"), so upload the pool ONCE
+    # and gather batches on device instead of uploading 4 MB per step.
+    pool = jnp.asarray(np.stack([s[..., :T] for s in sources]))
+    gather = jax.jit(lambda p, i: jnp.take(p, i, axis=0))
     for i in range(steps):
         idx = np_rng.integers(0, len(pool), batch_size)
-        batch = {"input_audio": jnp.asarray(pool[idx])}
+        batch = {"input_audio": gather(pool, jnp.asarray(idx))}
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         if i % 50 == 0:
