@@ -33,10 +33,14 @@ def main():
                         help="small shapes on CPU for smoke testing")
     parser.add_argument("--popsize", type=int, default=0,
                         help="0 = auto (512 per device)")
-    parser.add_argument("--iters", type=int, default=20,
+    parser.add_argument("--iters", type=int, default=120,
                         help="timed ES generations (multiple of --block)")
-    parser.add_argument("--block", type=int, default=10,
-                        help="generations per device dispatch")
+    parser.add_argument("--block", type=int, default=60,
+                        help="generations per device dispatch; large "
+                        "blocks amortize tunneled-relay dispatch latency "
+                        "(measured 0.1-0.8 s/dispatch on bad days vs "
+                        "3-5 ms on good ones) so the recorded number "
+                        "tracks device throughput, not relay weather")
     parser.add_argument("--profile", type=str, default="",
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--length", type=int, default=0,
@@ -62,9 +66,15 @@ def main():
     n_dev = len(jax.devices())
     # 512/device amortizes fixed per-generation overheads best on v5e
     # (256: 725 evals/s, 512: 856, 768: 842, 1024: OOM — measured r2)
-    popsize = args.popsize or (16 if args.quick else 512 * n_dev)
+    popsize = args.popsize or (8 if args.quick else 512 * n_dev)
     T = args.length or (32768 if args.quick else 262144)
     sample_rate = 48000
+    if args.quick:  # smoke run: the long-block defaults are TPU-sized and
+        # a 1-core host executes ~45 s per pop-16 generation at 32768
+        # samples — cap the smoke at ~1 min of compute, it only has to
+        # prove the ES block runs end-to-end
+        args.iters = min(args.iters, 4)
+        args.block = min(args.block, 2)
     block = max(1, min(args.block, args.iters))
     iters = max(block, (args.iters // block) * block)
 

@@ -428,7 +428,12 @@ def run_es(
     if chunked:
         eval_len = T  # full signal; embeddings chunk at crop_len
     else:
-        eval_len = min(T, crop_len) if not random_crop else crop_len
+        # Never longer than the signal: padding candidates to crop_len
+        # would dilute their time-pooled embeddings with silence while
+        # target_embed stays unpadded, corrupting the objective. Random
+        # crops only exist when T is meaningfully longer than the window
+        # (reference crop semantics: style_transfer.py:505-518).
+        eval_len = min(T, crop_len)
 
     fitness = make_fitness_fn(
         chain, model, sample_rate, x_full.shape[0], embed_func,

@@ -223,8 +223,24 @@ def _apply_packed_response(Zr, Zi, P, Q, Pc, Qc, n: int):
                                     _revslice(Zi, 1, n // 2))
         y_hi = y_hi + jnp.conj(_revslice(Qc, 1, -1)) * jnp.conj(z_mid_rev)
 
-    Yr = jnp.concatenate([jnp.real(y_lo), jnp.real(y_hi)], axis=-1)
-    Yi = jnp.concatenate([jnp.imag(y_lo), jnp.imag(y_hi)], axis=-1)
+    # DC/Nyquist correction: per-channel irfft forces those self-conjugate
+    # bins to Re(Y_ch); the packed equivalent is (Y(b) + Y_ext(b))/2 where
+    # Y_ext(b) = conj(Pc(b)) Z(b) + conj(Qc(b)) conj(Z(b)) is the
+    # conjugate-extension value (Zrev(b) = Z(b) at b in {0, n/2}). Without
+    # it, responses with complex DC/Nyquist values (fractional delays)
+    # leak the dropped imaginary parts into both packed channels. The
+    # corrected columns ride the output concatenate (a column update
+    # would copy the whole (B, n) array).
+    def _fix(b):
+        zb = z_lo[..., b:b + 1]
+        ext = jnp.conj(Pc[..., b:b + 1]) * zb
+        if Qc is not None:
+            ext = ext + jnp.conj(Qc[..., b:b + 1]) * jnp.conj(zb)
+        return 0.5 * (y_lo[..., b:b + 1] + ext)
+
+    parts = [_fix(0), y_lo[..., 1:F - 1], _fix(F - 1), y_hi]
+    Yr = jnp.concatenate([jnp.real(p) for p in parts], axis=-1)
+    Yi = jnp.concatenate([jnp.imag(p) for p in parts], axis=-1)
     return Yr, Yi
 
 

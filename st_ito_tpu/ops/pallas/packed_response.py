@@ -63,7 +63,15 @@ def _apply_block(kind, H, zr, zi, zrr, zri):
     return rp.rp_packed_apply(P, Q, Pc, Qc, zr, zi, zrr, zri)
 
 
-def _make_kernel(stage_descrs, n_params, n_active, n_tables):
+def _make_kernel(stage_descrs, n_params, n_active, n_tables, dc_ny):
+    """dc_ny = ((dc_block, dc_lane), (ny_block, ny_lane)): grid positions
+    of the DC and Nyquist bins. Per-channel irfft semantics force those
+    self-conjugate bins to Re(Y_ch); the packed equivalent is the average
+    of the lower-half value and the conjugate-extension value, which is
+    exactly Yhig at those bins (Zrev(b) = Z(b) for b in {0, n/2}).
+    Without the correction, responses with complex DC/Nyquist values
+    (fractional delays) leak the dropped imaginary parts into both
+    channels."""
     def kernel(*refs):
         zr_ref, zi_ref, zrr_ref, zri_ref = refs[:4]
         pos = 4
@@ -96,6 +104,13 @@ def _make_kernel(stage_descrs, n_params, n_active, n_tables):
                                  table_blocks)
         ylo_r, ylo_i, yhi_r, yhi_i = _apply_block(
             kind, H, zr_ref[...], zi_ref[...], zrr_ref[...], zri_ref[...])
+        fblk = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, ylo_r.shape, 1)
+        (dcb, dcl), (nyb, nyl) = dc_ny
+        sel = (((fblk == dcb) & (lane == dcl))
+               | ((fblk == nyb) & (lane == nyl)))
+        ylo_r = jnp.where(sel, 0.5 * (ylo_r + yhi_r), ylo_r)
+        ylo_i = jnp.where(sel, 0.5 * (ylo_i + yhi_i), ylo_i)
         ylo_r_ref[...] = ylo_r
         ylo_i_ref[...] = ylo_i
         yhi_r_ref[...] = yhi_r
@@ -129,7 +144,8 @@ def packed_response_apply_rp(
 
     Returns (YloR, YloI, YhigR, YhigI), each (B, F):
       Ylo[k]  = Y[k]             for k in [0, n/2]
-      Yhig[k] = Y[(n-k) mod n]   (entries at k=0 and k=n/2 unused)
+      Yhig[k] = Y[(n-k) mod n]   (at k in {0, n/2}: the conjugate-
+                 extension value, used for the DC/Nyquist correction)
     """
     B, F = ZrL.shape
     Bp = -(-B // _BB) * _BB
@@ -154,7 +170,8 @@ def packed_response_apply_rp(
     t_specs = [pl.BlockSpec((a.shape[0], _LF), lambda b, f: (0, f),
                             memory_space=pltpu.VMEM) for a in T]
 
-    kernel = _make_kernel(stage_descrs, len(P), len(A), len(T))
+    dc_ny = ((0, 0), ((F - 1) // _LF, (F - 1) % _LF))
+    kernel = _make_kernel(stage_descrs, len(P), len(A), len(T), dc_ny)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -216,6 +233,10 @@ def packed_lti_apply_rp(
         ZrL, ZiL, ZrR, ZiR, stage_descrs, param_arrays, active_arrays,
         table_arrays, interpret=interpret)
 
+    # Ylo arrives with the DC/Nyquist correction already applied inside
+    # the kernel (see _make_kernel) — keep the 2-piece aligned concat
+    # (host-side column surgery here measured ~150-300 ms/gen in TPU
+    # relayout/copy passes at pop 512).
     Yr = jnp.concatenate([YloR, jnp.flip(YhiR[:, 1:n // 2], -1)], -1)
     Yi = jnp.concatenate([YloI, jnp.flip(YhiI[:, 1:n // 2], -1)], -1)
     yr, yi = fft_mx(Yr, Yi, sign=1, precision=inv_prec, out_len=T)
@@ -226,9 +247,14 @@ def packed_lti_apply_rp(
 def packed_response_apply_rp_reference(
     ZrL, ZiL, ZrR, ZiR,
     stage_descrs, param_arrays, active_arrays, table_arrays,
+    nyq_bin: int | None = None,
 ):
     """Pure-jnp execution of the identical rp math on the full half grid —
-    the correctness oracle for the kernel (and a debugging aid)."""
+    the correctness oracle for the kernel (and a debugging aid).
+
+    ``nyq_bin``: global index of the Nyquist bin (the kernel derives it
+    from the unpadded F); when given, the DC/Nyquist irfft-semantics
+    correction is applied exactly as in the kernel."""
     param_blocks, active_blocks, table_blocks = [], [], []
     pi = ai = ti = 0
     for effect, pnames, tnames, statics in stage_descrs:
@@ -246,4 +272,10 @@ def packed_response_apply_rp_reference(
         ti += len(tnames)
     kind, H = _compose_block(stage_descrs, param_blocks, active_blocks,
                              table_blocks)
-    return _apply_block(kind, H, ZrL, ZiL, ZrR, ZiR)
+    ylo_r, ylo_i, yhi_r, yhi_i = _apply_block(kind, H, ZrL, ZiL, ZrR, ZiR)
+    if nyq_bin is not None:
+        idx = jnp.arange(ylo_r.shape[-1])[None, :]
+        sel = (idx == 0) | (idx == nyq_bin)
+        ylo_r = jnp.where(sel, 0.5 * (ylo_r + yhi_r), ylo_r)
+        ylo_i = jnp.where(sel, 0.5 * (ylo_i + yhi_i), ylo_i)
+    return ylo_r, ylo_i, yhi_r, yhi_i

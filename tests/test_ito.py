@@ -425,3 +425,28 @@ def test_run_staged_es_early_stops_per_stage(monkeypatch):
                            early_stop_patience=3)
     # gen 0 seeds the counter; gens 1..4 show no improvement -> 5 per stage
     assert len(result["fval_history"]) == 5 * len(chain.stages)
+
+
+def test_run_es_random_crop_short_audio_no_padding(mfcc_setup):
+    """random_crop=True with T <= crop_len must evaluate the UNPADDED
+    signal. Zero-padding candidates to crop_len while target_embed stays
+    unpadded dilutes the time-pooled candidate embeddings with silence and
+    corrupts the objective (regression: catastrophic mixed-mode PST runs
+    where ES ended far below the identity baseline). Defined LAST: it
+    draws from the shared module RNG, and inserting it earlier would
+    shift every later test's random inputs."""
+    model, embed_func = mfcc_setup
+    chain = _small_chain()
+    x = _test_signal()  # T = 32768 << crop_len below
+    render = build_render_fn(chain, SR, 1)
+    w_target = jnp.asarray(
+        RNG.uniform(0.3, 0.7, chain.num_params).astype(np.float32))
+    y_target = render(w_target, x[0])[None]
+    common = dict(max_iters=3, popsize=8, sigma0=0.3, find_w0=False,
+                  seed=4, verbose=False)
+    r_crop = run_es(x, y_target, SR, chain, model, embed_func=embed_func,
+                    crop_len=262144, random_crop=True, **common)
+    r_ref = run_es(x, y_target, SR, chain, model, embed_func=embed_func,
+                   crop_len=262144, random_crop=False, **common)
+    np.testing.assert_allclose(r_crop["fval_history"],
+                               r_ref["fval_history"], rtol=1e-6)

@@ -122,9 +122,11 @@ def test_rp_reference_matches_kernel_interpret():
 
     got = packed_response_apply_rp(*Z, descrs, parr, [], tarr,
                                    interpret=True)
-    # reference runs on the padded grid the kernel saw
+    # reference runs on the padded grid the kernel saw; nyq_bin mirrors
+    # the kernel's DC/Nyquist irfft-semantics correction at the true F
     Zp = [jnp.pad(z, ((0, 0), (0, Fp - F))) for z in Z]
-    want = packed_response_apply_rp_reference(*Zp, descrs, parr, [], tarr)
+    want = packed_response_apply_rp_reference(*Zp, descrs, parr, [], tarr,
+                                              nyq_bin=F - 1)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w)[:, :F],
                                    atol=1e-4 * max(1.0, float(jnp.abs(w).max())))
