@@ -251,6 +251,19 @@ def cnn14_apply(
     """
     batch, chs, seq_len = x.shape
 
+    # Static shape guard: 6 conv blocks pool time 2x each (the last block
+    # pools only in the torch layout when pool_size covers it — 5 pools
+    # here), so the logmel frame count must survive 2^5 halving or the
+    # time max/mean below reduces a zero-size axis with a cryptic XLA
+    # error. centered STFT frames = seq_len // hop + 1.
+    frames = seq_len // config.hop_size + 1
+    if frames >> 5 == 0:
+        min_len = (32 - 1) * config.hop_size  # frames >= 32
+        raise ValueError(
+            f"input length {seq_len} yields {frames} logmel frames; Cnn14 "
+            f"needs >= 32 frames (>= {min_len} samples at "
+            f"sample_rate={config.sample_rate}, hop={config.hop_size})")
+
     if chs == 2:
         x_mid = (x[:, 0, :] + x[:, 1, :]) / 2.0
         x_side = (x[:, 0, :] - x[:, 1, :]) / 2.0

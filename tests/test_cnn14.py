@@ -129,3 +129,18 @@ def test_training_mode_runs():
                             rng=jax.random.PRNGKey(1))
     assert mid.shape == (2, 32)
     assert bool(jnp.isfinite(mid).all())
+
+
+def test_too_short_input_raises_clear_error():
+    """Inputs whose logmel frames pool to zero through the 5 halving
+    blocks must fail at trace time with an actionable message, not a
+    zero-size-reduction XLA error (regression: bench --quick at
+    T=16384 crashed deep inside jnp.max)."""
+    cfg = Cnn14Config(embed_dim=32, base_channels=8)
+    params = init_cnn14_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 2, 16384), jnp.float32)
+    with pytest.raises(ValueError, match="logmel frames"):
+        cnn14_apply(params, x, cfg)
+    # shortest legal length still works
+    mid, _ = cnn14_apply(params, jnp.zeros((1, 2, 31 * 1024), jnp.float32), cfg)
+    assert mid.shape == (1, 32)
