@@ -123,7 +123,9 @@ def build_batched_render_fn(
     use_pallas = fast and jax.default_backend() == "tpu"
     # fused-LTI FFT implementation: "mx" = packed-complex four-step MXU FFT
     # (ops/mxfft.py — XLA's TPU FFT is far off the roofline at 2^19),
-    # "xla" = jnp.fft. "auto" picks mx on the TPU inference path.
+    # "mx3" = the fused 3-stage Pallas kernel (ops/pallas/mxfft3.py) where
+    # n factors as 128*128*r3 (four-step otherwise), "xla" = jnp.fft.
+    # "auto" picks mx on the TPU inference path.
     if fft_mode == "auto":
         fft_mode = "mx" if (fast and jax.default_backend() == "tpu") else "xla"
 
@@ -185,7 +187,7 @@ def build_batched_render_fn(
             # application in ONE kernel (no (B, F) complex intermediates)
             from st_ito_tpu.chain.rp_responses import RP_BUNDLES
 
-            if (use_pallas and fft_mode == "mx" and C == 2
+            if (use_pallas and fft_mode in ("mx", "mx3") and C == 2
                     and all(s.effect in RP_BUNDLES for s, _, _ in stages)):
                 from st_ito_tpu.ops.pallas.packed_response import (
                     packed_lti_apply_rp)
@@ -197,7 +199,8 @@ def build_batched_render_fn(
                               if chain.with_bypass else None)
                     rp_stages.append((stage.effect, params, active))
                 x = packed_lti_apply_rp(x, rp_stages, n, sample_rate,
-                                        precision=fft_precision)
+                                        precision=fft_precision,
+                                        fft_impl=fft_mode)
                 continue
 
             omega = jnp.linspace(0.0, math.pi, n // 2 + 1, dtype=jnp.float32)
@@ -215,7 +218,7 @@ def build_batched_render_fn(
                     Hs = bypass_blend(k, Hs, active)
                 kind_H, H = compose_responses(kind_H, H, k, Hs, F)
 
-            if fft_mode == "mx" and kind_H in ("scalar", "monomix"):
+            if fft_mode in ("mx", "mx3") and kind_H in ("scalar", "monomix"):
                 from st_ito_tpu.ops.mxfft import packed_lti_apply
 
                 x = packed_lti_apply(x, kind_H, H, n,

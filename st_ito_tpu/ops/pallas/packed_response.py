@@ -25,6 +25,8 @@ per-candidate serial C++ renders).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -190,11 +192,17 @@ def packed_lti_apply_rp(
     sample_rate: float,
     precision: str = "high",
     interpret: bool = False,
+    fft_impl: str = "mx",
 ) -> jnp.ndarray:
     """Full fused-LTI group application for a stereo population: packed
     forward FFT -> fused response kernel -> inverse FFT. Drop-in
     replacement for ops/mxfft.packed_lti_apply when every stage in the
-    group is rp-capable (chain/executor.py decides)."""
+    group is rp-capable (chain/executor.py decides).
+
+    ``fft_impl="mx3"`` routes both transforms through the fused 3-stage
+    Pallas kernel (ops/pallas/mxfft3.py) when n = 128*128*r3 and the
+    in/out lengths divide its stage-1 rows; falls back to the jnp
+    four-step (ops/mxfft.py) otherwise."""
     from st_ito_tpu.ops.mxfft import _PRECISIONS, fft_mx  # noqa: F401
 
     if precision == "mixed":
@@ -206,7 +214,16 @@ def packed_lti_apply_rp(
     F = n // 2 + 1
     Fp = -(-F // _LF) * _LF
 
-    Zr, Zi = fft_mx(x[:, 0, :], x[:, 1, :], sign=-1, precision=fwd_prec, n=n)
+    fwd_fft = inv_fft = fft_mx
+    if fft_impl == "mx3":
+        from st_ito_tpu.ops.pallas import mxfft3
+
+        r3 = n // 16384
+        if (16384 * r3 == n and 8 <= r3 <= 128 and not (r3 & (r3 - 1))
+                and T % (n // 128) == 0):
+            fwd_fft = inv_fft = partial(mxfft3.fft_mx3, interpret=interpret)
+
+    Zr, Zi = fwd_fft(x[:, 0, :], x[:, 1, :], sign=-1, precision=fwd_prec, n=n)
     ZrL, ZiL = Zr[:, :F], Zi[:, :F]
     # Zrev[k] = Z[(n-k) mod n] for k in [0, n/2]: [Z0, Z_{n-1}, .., Z_{n/2}]
     ZrR = jnp.concatenate([Zr[:, :1], jnp.flip(Zr[:, n // 2:], -1)], -1)
@@ -239,7 +256,8 @@ def packed_lti_apply_rp(
     # relayout/copy passes at pop 512).
     Yr = jnp.concatenate([YloR, jnp.flip(YhiR[:, 1:n // 2], -1)], -1)
     Yi = jnp.concatenate([YloI, jnp.flip(YhiI[:, 1:n // 2], -1)], -1)
-    yr, yi = fft_mx(Yr, Yi, sign=1, precision=inv_prec, out_len=T)
+    yr, yi = inv_fft(Yr, Yi, sign=1, precision=inv_prec, n=n,
+                     out_len=T)
     scale = 1.0 / n
     return jnp.stack([yr * scale, yi * scale], axis=1)
 
