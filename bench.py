@@ -45,6 +45,10 @@ def main():
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--length", type=int, default=0,
                         help="0 = auto (262144, or 32768 with --quick)")
+    parser.add_argument("--fft-mode", type=str, default="auto",
+                        choices=["auto", "mx", "mx3", "xla"],
+                        help="fused-LTI FFT implementation (mx3 = the "
+                        "3-stage Pallas kernel, A/B against mx)")
     args = parser.parse_args()
 
     if args.quick:
@@ -90,6 +94,7 @@ def main():
         chain=chain, model=model, popsize=popsize, find_w0=False,
         sigma0=0.33, crop_len=T, seed=0, mesh=mesh, verbose=False,
         early_stop_patience=10**9, gens_per_dispatch=block,
+        fft_mode=args.fft_mode,
     )
     # warmup: compiles the fitness program, the k-generation ES runner and
     # the final render once (all cached for the timed run)

@@ -114,6 +114,7 @@ def make_fitness_fn(
     return_audio: bool = False,
     compute_dtype: str | None = None,
     fft_precision: str = "high",
+    fft_mode: str = "auto",
 ):
     """Build fitness(W (pop,P), x (C,T), target_embeds, rng) -> fvals (pop,)
     (or (fvals, embeds, audio) when return_audio). Jitted; one XLA program.
@@ -134,7 +135,7 @@ def make_fitness_fn(
     cache_key = (id(chain), id(model), id(content_model), sample_rate,
                  num_channels, embed_func, content_embed_func, dropout,
                  normalize_stages, id(mesh), return_audio, compute_dtype,
-                 fft_precision)
+                 fft_precision, fft_mode)
     if cache_key in _FITNESS_CACHE:
         return _FITNESS_CACHE[cache_key][0]
     orig_model = model  # id()-keyed; pinned below alongside the variant
@@ -151,7 +152,7 @@ def make_fitness_fn(
         # natively batched population renderer: fused LTI groups + Pallas
         # compressor ballistics (ES needs no gradients -> fast=True)
         render = build_batched_render_fn(chain, sample_rate, num_channels,
-                                         fast=True,
+                                         fast=True, fft_mode=fft_mode,
                                          fft_precision=fft_precision)
 
     # Host-side metric backends (CLAP / wav2vec2 torch wrappers, marked
@@ -353,6 +354,7 @@ def run_es(
     opt_slice: tuple[int, int] | None = None,
     w_template: np.ndarray | None = None,
     chunked: bool = False,
+    fft_mode: str = "auto",
     **kwargs,
 ):
     """CMA-ES inference-time optimization
@@ -439,7 +441,7 @@ def run_es(
         chain, model, sample_rate, x_full.shape[0], embed_func,
         content_model, content_embed_func, dropout,
         normalize_stages, mesh, return_audio=savepop,
-        compute_dtype=fitness_dtype,
+        compute_dtype=fitness_dtype, fft_mode=fft_mode,
     )
     # Dropout is disabled on the final generation (reference:
     # style_transfer.py:632-635); a second cached program with dropout=0
@@ -448,7 +450,7 @@ def run_es(
         chain, model, sample_rate, x_full.shape[0], embed_func,
         content_model, content_embed_func, 0.0,
         normalize_stages, mesh, return_audio=savepop,
-        compute_dtype=fitness_dtype,
+        compute_dtype=fitness_dtype, fft_mode=fft_mode,
     )
 
     def eval_W(W, iteration_rng, dropout_active=True):
