@@ -46,9 +46,9 @@ def main():
     parser.add_argument("--length", type=int, default=0,
                         help="0 = auto (262144, or 32768 with --quick)")
     parser.add_argument("--fft-mode", type=str, default="auto",
-                        choices=["auto", "mx", "mx3", "xla"],
-                        help="fused-LTI FFT implementation (mx3 = the "
-                        "3-stage Pallas kernel, A/B against mx)")
+                        choices=["auto", "mx", "fused", "xla"],
+                        help="fused-LTI FFT implementation (fused = the "
+                        "two-stage Pallas VMEM kernel, A/B against mx)")
     args = parser.parse_args()
 
     if args.quick:

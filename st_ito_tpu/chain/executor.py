@@ -123,9 +123,10 @@ def build_batched_render_fn(
     use_pallas = fast and jax.default_backend() == "tpu"
     # fused-LTI FFT implementation: "mx" = packed-complex four-step MXU FFT
     # (ops/mxfft.py — XLA's TPU FFT is far off the roofline at 2^19),
-    # "mx3" = the fused 3-stage Pallas kernel (ops/pallas/mxfft3.py) where
-    # n factors as 128*128*r3 (four-step otherwise), "xla" = jnp.fft.
-    # "auto" picks mx on the TPU inference path.
+    # "fused" (legacy alias "mx3") = the fused two-stage Pallas kernel
+    # (ops/pallas/fused_fft.py) where shapes qualify (four-step
+    # otherwise), "xla" = jnp.fft. "auto" picks mx on the TPU inference
+    # path.
     if fft_mode == "auto":
         fft_mode = "mx" if (fast and jax.default_backend() == "tpu") else "xla"
 
@@ -187,7 +188,7 @@ def build_batched_render_fn(
             # application in ONE kernel (no (B, F) complex intermediates)
             from st_ito_tpu.chain.rp_responses import RP_BUNDLES
 
-            if (use_pallas and fft_mode in ("mx", "mx3") and C == 2
+            if (use_pallas and fft_mode in ("mx", "fused", "mx3") and C == 2
                     and all(s.effect in RP_BUNDLES for s, _, _ in stages)):
                 from st_ito_tpu.ops.pallas.packed_response import (
                     packed_lti_apply_rp)
@@ -218,7 +219,8 @@ def build_batched_render_fn(
                     Hs = bypass_blend(k, Hs, active)
                 kind_H, H = compose_responses(kind_H, H, k, Hs, F)
 
-            if fft_mode in ("mx", "mx3") and kind_H in ("scalar", "monomix"):
+            if (fft_mode in ("mx", "fused", "mx3")
+                    and kind_H in ("scalar", "monomix")):
                 from st_ito_tpu.ops.mxfft import packed_lti_apply
 
                 x = packed_lti_apply(x, kind_H, H, n,

@@ -199,10 +199,11 @@ def packed_lti_apply_rp(
     replacement for ops/mxfft.packed_lti_apply when every stage in the
     group is rp-capable (chain/executor.py decides).
 
-    ``fft_impl="mx3"`` routes both transforms through the fused 3-stage
-    Pallas kernel (ops/pallas/mxfft3.py) when n = 128*128*r3 and the
-    in/out lengths divide its stage-1 rows; falls back to the jnp
-    four-step (ops/mxfft.py) otherwise."""
+    ``fft_impl="fused"`` (legacy alias "mx3") routes both transforms
+    through the fused two-stage Pallas kernel (ops/pallas/fused_fft.py)
+    when the shapes qualify (power-of-two n with full-lane stage dims and
+    T a multiple of n2); falls back to the jnp four-step (ops/mxfft.py)
+    otherwise."""
     from st_ito_tpu.ops.mxfft import _PRECISIONS, fft_mx  # noqa: F401
 
     if precision == "mixed":
@@ -215,13 +216,12 @@ def packed_lti_apply_rp(
     Fp = -(-F // _LF) * _LF
 
     fwd_fft = inv_fft = fft_mx
-    if fft_impl == "mx3":
-        from st_ito_tpu.ops.pallas import mxfft3
+    if fft_impl in ("fused", "mx3"):
+        from st_ito_tpu.ops.pallas import fused_fft
 
-        r3 = n // 16384
-        if (16384 * r3 == n and 8 <= r3 <= 128 and not (r3 & (r3 - 1))
-                and T % (n // 128) == 0):
-            fwd_fft = inv_fft = partial(mxfft3.fft_mx3, interpret=interpret)
+        if fused_fft.supported(n, T):
+            fwd_fft = inv_fft = partial(fused_fft.fft_fused,
+                                        interpret=interpret)
 
     Zr, Zi = fwd_fft(x[:, 0, :], x[:, 1, :], sign=-1, precision=fwd_prec, n=n)
     ZrL, ZiL = Zr[:, :F], Zi[:, :F]
