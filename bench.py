@@ -46,9 +46,10 @@ def main():
     parser.add_argument("--length", type=int, default=0,
                         help="0 = auto (262144, or 32768 with --quick)")
     parser.add_argument("--fft-mode", type=str, default="auto",
-                        choices=["auto", "mx", "fused", "xla"],
+                        choices=["auto", "mx", "fused", "mega", "xla"],
                         help="fused-LTI FFT implementation (fused = the "
-                        "two-stage Pallas VMEM kernel, A/B against mx)")
+                        "two-stage Pallas VMEM kernel, mega = the "
+                        "glue-free Pallas FFT pair; A/B against mx)")
     args = parser.parse_args()
 
     if args.quick:

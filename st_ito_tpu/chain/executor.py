@@ -124,11 +124,15 @@ def build_batched_render_fn(
     # fused-LTI FFT implementation: "mx" = packed-complex four-step MXU FFT
     # (ops/mxfft.py — XLA's TPU FFT is far off the roofline at 2^19),
     # "fused" (legacy alias "mx3") = the fused two-stage Pallas kernel
-    # (ops/pallas/fused_fft.py) where shapes qualify (four-step
-    # otherwise), "xla" = jnp.fft. "auto" picks mx on the TPU inference
-    # path.
+    # (ops/pallas/fused_fft.py), "mega" = the glue-free Pallas FFT pair
+    # emitting/consuming the response kernel's half-grid arrays directly
+    # (ops/pallas/mega_fft.py); each falls back to the four-step where
+    # shapes don't qualify. "xla" = jnp.fft. "auto" picks mega on the TPU
+    # inference path (A/B measured: 1237 vs 1171 evals/s on the headline
+    # bench, PERF_NOTES.md) with the four-step as its shape fallback.
     if fft_mode == "auto":
-        fft_mode = "mx" if (fast and jax.default_backend() == "tpu") else "xla"
+        fft_mode = ("mega" if (fast and jax.default_backend() == "tpu")
+                    else "xla")
 
     # static plan: group consecutive response-capable stages
     plan: list[tuple[str, list[int]]] = []
@@ -188,7 +192,9 @@ def build_batched_render_fn(
             # application in ONE kernel (no (B, F) complex intermediates)
             from st_ito_tpu.chain.rp_responses import RP_BUNDLES
 
-            if (use_pallas and fft_mode in ("mx", "fused", "mx3") and C == 2
+            if (use_pallas
+                    and fft_mode in ("mx", "fused", "mx3", "mega")
+                    and C == 2
                     and all(s.effect in RP_BUNDLES for s, _, _ in stages)):
                 from st_ito_tpu.ops.pallas.packed_response import (
                     packed_lti_apply_rp)
@@ -199,9 +205,17 @@ def build_batched_render_fn(
                     active = ((W[:, start] <= 0.5)
                               if chain.with_bypass else None)
                     rp_stages.append((stage.effect, params, active))
-                x = packed_lti_apply_rp(x, rp_stages, n, sample_rate,
-                                        precision=fft_precision,
-                                        fft_impl=fft_mode)
+                from st_ito_tpu.ops.pallas import mega_fft
+
+                if (fft_mode == "mega" and mega_fft.supported(n, T)
+                        and B % 8 == 0):
+                    x = mega_fft.packed_lti_apply_mega(
+                        x, rp_stages, n, sample_rate,
+                        precision=fft_precision)
+                else:
+                    x = packed_lti_apply_rp(x, rp_stages, n, sample_rate,
+                                            precision=fft_precision,
+                                            fft_impl=fft_mode)
                 continue
 
             omega = jnp.linspace(0.0, math.pi, n // 2 + 1, dtype=jnp.float32)
@@ -219,7 +233,7 @@ def build_batched_render_fn(
                     Hs = bypass_blend(k, Hs, active)
                 kind_H, H = compose_responses(kind_H, H, k, Hs, F)
 
-            if (fft_mode in ("mx", "fused", "mx3")
+            if (fft_mode in ("mx", "fused", "mx3", "mega")
                     and kind_H in ("scalar", "monomix")):
                 from st_ito_tpu.ops.mxfft import packed_lti_apply
 

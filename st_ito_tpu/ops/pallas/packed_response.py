@@ -185,6 +185,71 @@ def packed_response_apply_rp(
     return tuple(o[:B, :F] for o in outs)
 
 
+def _build_stage_inputs(stages, B: int, n: int, sample_rate: float, Fp: int):
+    """Shared kernel-input construction: stage descriptors, flat param /
+    active-mask / frequency-table arrays (tables built at width Fp)."""
+    stage_descrs, param_arrays, active_arrays, table_arrays = [], [], [], []
+    any_active = any(a is not None for _, _, a in stages)
+    for effect, params, active in stages:
+        tables_fn = rp.RP_BUNDLES[effect][0]
+        tab = tables_fn(sample_rate, n, Fp)
+        statics = {k: v for k, v in tab.items() if not hasattr(v, "shape")}
+        arrays = {k: v for k, v in tab.items() if hasattr(v, "shape")}
+        pnames = tuple(sorted(params))
+        tnames = tuple(sorted(arrays))
+        stage_descrs.append((effect, pnames, tnames, statics))
+        param_arrays += [jnp.asarray(params[k], jnp.float32) for k in pnames]
+        table_arrays += [arrays[k] for k in tnames]
+        if any_active:
+            mask = (jnp.ones((B,), jnp.float32) if active is None
+                    else active.astype(jnp.float32))
+            active_arrays.append(mask)
+    return stage_descrs, param_arrays, active_arrays, table_arrays
+
+
+def packed_response_apply_rp_padded(
+    ZrL, ZiL, ZrR, ZiR,
+    stages,  # [(effect, params_dict_of_(B,), active_(B,)_or_None), ...]
+    n: int,
+    sample_rate: float,
+    F: int,
+    Fp: int,
+    interpret: bool = False,
+):
+    """Pre-padded variant for the mega FFT path (ops/pallas/mega_fft.py):
+    the four spectra arrive (B, Fp) with Fp lane-aligned and bins beyond
+    F holding discardable junk; no padding, slicing or table edge-
+    replication happens here (that XLA glue is exactly what the mega
+    kernels delete). B must be a multiple of the candidate block. Returns
+    (YloR, YloI, YhigR, YhigI) at the same (B, Fp) width."""
+    B = ZrL.shape[0]
+    assert ZrL.shape[1] == Fp and Fp % _LF == 0 and B % _BB == 0, (
+        ZrL.shape, Fp, B)
+    stage_descrs, P_, A_, T_ = _build_stage_inputs(stages, B, n,
+                                                   sample_rate, Fp)
+    P = [a.reshape(-1, 1).astype(jnp.float32) for a in P_]
+    A = [a.reshape(-1, 1).astype(jnp.float32) for a in A_]
+
+    grid = (B // _BB, Fp // _LF)
+    z_spec = pl.BlockSpec((_BB, _LF), lambda b, f: (b, f),
+                          memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((_BB, 1), lambda b, f: (b, 0),
+                          memory_space=pltpu.VMEM)
+    t_specs = [pl.BlockSpec((a.shape[0], _LF), lambda b, f: (0, f),
+                            memory_space=pltpu.VMEM) for a in T_]
+
+    dc_ny = ((0, 0), ((F - 1) // _LF, (F - 1) % _LF))
+    kernel = _make_kernel(stage_descrs, len(P), len(A), len(T_), dc_ny)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[z_spec] * 4 + [p_spec] * (len(P) + len(A)) + t_specs,
+        out_specs=[z_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((B, Fp), jnp.float32)] * 4,
+        interpret=interpret,
+    )(ZrL, ZiL, ZrR, ZiR, *P, *A, *T_)
+
+
 def packed_lti_apply_rp(
     x: jnp.ndarray,
     stages,  # [(effect, params_dict_of_(B,), active_(B,)_or_None), ...]
@@ -229,22 +294,8 @@ def packed_lti_apply_rp(
     ZrR = jnp.concatenate([Zr[:, :1], jnp.flip(Zr[:, n // 2:], -1)], -1)
     ZiR = jnp.concatenate([Zi[:, :1], jnp.flip(Zi[:, n // 2:], -1)], -1)
 
-    stage_descrs, param_arrays, active_arrays, table_arrays = [], [], [], []
-    any_active = any(a is not None for _, _, a in stages)
-    for effect, params, active in stages:
-        tables_fn = rp.RP_BUNDLES[effect][0]
-        tab = tables_fn(sample_rate, n, Fp)
-        statics = {k: v for k, v in tab.items() if not hasattr(v, "shape")}
-        arrays = {k: v for k, v in tab.items() if hasattr(v, "shape")}
-        pnames = tuple(sorted(params))
-        tnames = tuple(sorted(arrays))
-        stage_descrs.append((effect, pnames, tnames, statics))
-        param_arrays += [jnp.asarray(params[k], jnp.float32) for k in pnames]
-        table_arrays += [arrays[k] for k in tnames]
-        if any_active:
-            mask = (jnp.ones((B,), jnp.float32) if active is None
-                    else active.astype(jnp.float32))
-            active_arrays.append(mask)
+    stage_descrs, param_arrays, active_arrays, table_arrays = (
+        _build_stage_inputs(stages, B, n, sample_rate, Fp))
 
     YloR, YloI, YhiR, YhiI = packed_response_apply_rp(
         ZrL, ZiL, ZrR, ZiR, stage_descrs, param_arrays, active_arrays,
