@@ -319,9 +319,11 @@ def _vmem_params(interpret: bool):
 @partial(jax.jit, static_argnames=("n", "precision", "interpret"))
 def fwd_pack_fft(x: jnp.ndarray, n: int, precision: str = "high",
                  interpret: bool = False):
-    """x (B, 2, T) float32 -> (ZloR, ZloI, ZrevR, ZrevI), each (B, Rp*n1)
-    float32 with bin k of Z = FFT(L + iR, n) at flat index k (k <= n/2;
-    higher indices hold discardable aliased values)."""
+    """x (B, 2, T) float32 -> (ZloR, ZloI, ZrevR, ZrevI), each (B, Rp, n1)
+    float32 with bin k of Z = FFT(L + iR, n) at (k // n1, k % n1) for
+    k <= n/2 (higher indices hold discardable aliased values). The 3-D
+    tiled layout flows into packed_response_apply_rp_padded unchanged —
+    flattening to (B, Rp*n1) would be an XLA retile pass."""
     B, C, T = x.shape
     assert C == 2, "fwd_pack_fft is stereo-only"
     if not supported(n, T):
@@ -348,13 +350,13 @@ def fwd_pack_fft(x: jnp.ndarray, n: int, precision: str = "high",
         interpret=interpret,
         **_vmem_params(interpret),
     )(x4, *tables)
-    return tuple(o.reshape(B, Rp * n1) for o in outs)
+    return outs
 
 
 @partial(jax.jit, static_argnames=("n", "T", "precision", "interpret"))
 def inv_unpack_fft(YloR, YloI, YhigR, YhigI, n: int, T: int,
                    precision: str = "high", interpret: bool = False):
-    """(Ylo, Yhig) half-grid arrays (B, Rp*n1) -> y (B, 2, T) float32,
+    """(Ylo, Yhig) half-grid arrays (B, Rp, n1) -> y (B, 2, T) float32,
     the scaled inverse FFT's (L, R) = (re, im) unpacking. Junk lanes
     (bins > n/2 in Ylo, the k=0/Nyquist duplicates in Yhig, pad rows)
     are masked inside the kernel."""
@@ -369,7 +371,7 @@ def inv_unpack_fft(YloR, YloI, YhigR, YhigI, n: int, T: int,
     tables = _inv_tables(n, Tr, Rp)
     kernel = _make_inv_kernel(n, n1, n2, Rp, Tr, dot)
 
-    Y = [a.reshape(B, Rp, n1) for a in (YloR, YloI, YhigR, YhigI)]
+    Y = (YloR, YloI, YhigR, YhigI)
     t_specs = [pl.BlockSpec(t.shape, lambda b, _nd=t.ndim: (0,) * _nd,
                             memory_space=pltpu.VMEM) for t in tables]
     y = pl.pallas_call(

@@ -207,6 +207,63 @@ def _build_stage_inputs(stages, B: int, n: int, sample_rate: float, Fp: int):
     return stage_descrs, param_arrays, active_arrays, table_arrays
 
 
+def _make_kernel_3d(stage_descrs, n_params, n_active, n_tables, dc_ny):
+    """3-D variant of _make_kernel for the mega FFT path: blocks are
+    (candidates, rows, lanes) slabs of the (B, Rp, n1) half-grid layout;
+    dc_ny = ((dc_rblk, dc_row, dc_lane), (ny_rblk, ny_row, ny_lane)) with
+    rblk the grid position along the row axis. Same DC/Nyquist semantics
+    as _make_kernel (see its docstring)."""
+    def kernel(*refs):
+        zr_ref, zi_ref, zrr_ref, zri_ref = refs[:4]
+        pos = 4
+        flat_params = refs[pos:pos + n_params]
+        pos += n_params
+        flat_active = refs[pos:pos + n_active]
+        pos += n_active
+        flat_tables = refs[pos:pos + n_tables]
+        pos += n_tables
+        ylo_r_ref, ylo_i_ref, yhi_r_ref, yhi_i_ref = refs[pos:pos + 4]
+
+        param_blocks, active_blocks, table_blocks = [], [], []
+        pi = ai = ti = 0
+        for effect, pnames, tnames, statics in stage_descrs:
+            param_blocks.append(
+                {name: flat_params[pi + j][...] for j, name in
+                 enumerate(pnames)})
+            pi += len(pnames)
+            if n_active:
+                active_blocks.append(flat_active[ai][...])
+                ai += 1
+            else:
+                active_blocks.append(None)
+            table_blocks.append(
+                {name: flat_tables[ti + j][...] for j, name in
+                 enumerate(tnames)})
+            ti += len(tnames)
+
+        kind, H = _compose_block(stage_descrs, param_blocks, active_blocks,
+                                 table_blocks)
+        ylo_r, ylo_i, yhi_r, yhi_i = _apply_block(
+            kind, H, zr_ref[...], zi_ref[...], zrr_ref[...], zri_ref[...])
+        rblk = pl.program_id(1)
+        row = jax.lax.broadcasted_iota(jnp.int32, ylo_r.shape, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, ylo_r.shape, 2)
+        (dcb, dcr, dcl), (nyb, nyr, nyl) = dc_ny
+        sel = (((rblk == dcb) & (row == dcr) & (lane == dcl))
+               | ((rblk == nyb) & (row == nyr) & (lane == nyl)))
+        ylo_r = jnp.where(sel, 0.5 * (ylo_r + yhi_r), ylo_r)
+        ylo_i = jnp.where(sel, 0.5 * (ylo_i + yhi_i), ylo_i)
+        ylo_r_ref[...] = ylo_r
+        ylo_i_ref[...] = ylo_i
+        yhi_r_ref[...] = yhi_r
+        yhi_i_ref[...] = yhi_i
+
+    return kernel
+
+
+_RB = 8  # half-grid rows per block in the 3-D (mega) layout
+
+
 def packed_response_apply_rp_padded(
     ZrL, ZiL, ZrR, ZiR,
     stages,  # [(effect, params_dict_of_(B,), active_(B,)_or_None), ...]
@@ -216,38 +273,46 @@ def packed_response_apply_rp_padded(
     Fp: int,
     interpret: bool = False,
 ):
-    """Pre-padded variant for the mega FFT path (ops/pallas/mega_fft.py):
-    the four spectra arrive (B, Fp) with Fp lane-aligned and bins beyond
-    F holding discardable junk; no padding, slicing or table edge-
-    replication happens here (that XLA glue is exactly what the mega
-    kernels delete). B must be a multiple of the candidate block. Returns
-    (YloR, YloI, YhigR, YhigI) at the same (B, Fp) width."""
-    B = ZrL.shape[0]
-    assert ZrL.shape[1] == Fp and Fp % _LF == 0 and B % _BB == 0, (
+    """3-D variant for the mega FFT path (ops/pallas/mega_fft.py): the
+    four spectra arrive (B, Rp, n1) — the natural tiled half grid with
+    bin k at (k // n1, k % n1) and bins beyond F holding discardable
+    junk. No padding, slicing, table edge-replication or flat reshapes
+    happen here (that XLA retile glue is exactly what the mega kernels
+    delete; Fp = Rp * n1 must match). B must be a multiple of the
+    candidate block and Rp of the row block. Returns
+    (YloR, YloI, YhigR, YhigI) in the same (B, Rp, n1) layout."""
+    B, Rp, n1 = ZrL.shape
+    assert Rp * n1 == Fp and B % _BB == 0 and Rp % _RB == 0, (
         ZrL.shape, Fp, B)
     stage_descrs, P_, A_, T_ = _build_stage_inputs(stages, B, n,
                                                    sample_rate, Fp)
-    P = [a.reshape(-1, 1).astype(jnp.float32) for a in P_]
-    A = [a.reshape(-1, 1).astype(jnp.float32) for a in A_]
+    P = [a.reshape(-1, 1, 1).astype(jnp.float32) for a in P_]
+    A = [a.reshape(-1, 1, 1).astype(jnp.float32) for a in A_]
+    # frequency tables keep their leading semantic dim and tile to the
+    # same (rows, Rp, n1) half grid (traced, loop-invariant -> computed
+    # once per ES block directly in this layout)
+    T3 = [a.reshape(a.shape[0], Rp, n1) for a in T_]
 
-    grid = (B // _BB, Fp // _LF)
-    z_spec = pl.BlockSpec((_BB, _LF), lambda b, f: (b, f),
+    grid = (B // _BB, Rp // _RB)
+    z_spec = pl.BlockSpec((_BB, _RB, n1), lambda b, r: (b, r, 0),
                           memory_space=pltpu.VMEM)
-    p_spec = pl.BlockSpec((_BB, 1), lambda b, f: (b, 0),
+    p_spec = pl.BlockSpec((_BB, 1, 1), lambda b, r: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    t_specs = [pl.BlockSpec((a.shape[0], _LF), lambda b, f: (0, f),
-                            memory_space=pltpu.VMEM) for a in T_]
+    t_specs = [pl.BlockSpec((a.shape[0], _RB, n1), lambda b, r: (0, r, 0),
+                            memory_space=pltpu.VMEM) for a in T3]
 
-    dc_ny = ((0, 0), ((F - 1) // _LF, (F - 1) % _LF))
-    kernel = _make_kernel(stage_descrs, len(P), len(A), len(T_), dc_ny)
+    ny = F - 1
+    dc_ny = ((0, 0, 0),
+             (ny // n1 // _RB, (ny // n1) % _RB, ny % n1))
+    kernel = _make_kernel_3d(stage_descrs, len(P), len(A), len(T3), dc_ny)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[z_spec] * 4 + [p_spec] * (len(P) + len(A)) + t_specs,
         out_specs=[z_spec] * 4,
-        out_shape=[jax.ShapeDtypeStruct((B, Fp), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((B, Rp, n1), jnp.float32)] * 4,
         interpret=interpret,
-    )(ZrL, ZiL, ZrR, ZiR, *P, *A, *T_)
+    )(ZrL, ZiL, ZrR, ZiR, *P, *A, *T3)
 
 
 def packed_lti_apply_rp(

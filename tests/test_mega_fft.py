@@ -31,7 +31,7 @@ def test_forward_emits_zlo_and_zrev():
     x = _stereo(B, T)
     ZlR, ZlI, ZvR, ZvI = fwd_pack_fft(jnp.asarray(x), N, interpret=True)
     Rp, n1 = half_grid(N)
-    assert ZlR.shape == (B, Rp * n1)
+    assert ZlR.shape == (B, Rp, n1)
 
     z = x[:, 0] + 1j * x[:, 1]
     Z = np.fft.fft(np.pad(z, ((0, 0), (0, N - T))), axis=-1)
@@ -40,8 +40,9 @@ def test_forward_emits_zlo_and_zrev():
     idx = (N - np.arange(F)) % N
     want_rev = Z[:, idx]
 
-    got_lo = np.asarray(ZlR)[:, :F] + 1j * np.asarray(ZlI)[:, :F]
-    got_rev = np.asarray(ZvR)[:, :F] + 1j * np.asarray(ZvI)[:, :F]
+    flat = [np.asarray(a).reshape(B, Rp * n1) for a in (ZlR, ZlI, ZvR, ZvI)]
+    got_lo = flat[0][:, :F] + 1j * flat[1][:, :F]
+    got_rev = flat[2][:, :F] + 1j * flat[3][:, :F]
     scale = np.abs(Z).max()
     assert np.abs(got_lo - want_lo).max() / scale < TOL
     assert np.abs(got_rev - want_rev).max() / scale < TOL
@@ -65,6 +66,8 @@ def test_inverse_consumes_ylo_yhig():
     hig[:, 0] = 123.0  # DC dup position: ignored (lo's DC is used)
     hig[:, F - 1] = -123.0  # Nyquist dup position: ignored
 
+    lo = lo.reshape(B, Rp, n1)
+    hig = hig.reshape(B, Rp, n1)
     y = inv_unpack_fft(jnp.asarray(lo.real), jnp.asarray(lo.imag),
                        jnp.asarray(hig.real), jnp.asarray(hig.imag),
                        N, T, interpret=True)
