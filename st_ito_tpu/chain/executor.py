@@ -172,10 +172,17 @@ def build_batched_render_fn(
             if kind in ("nl", "fast"):
                 stage, start, _ = stages[0]
                 params = stage_params(stage, W, start)
-                if kind == "fast":
-                    y = stage.fast_batched_fn(x, params, sample_rate, fast)
-                else:
-                    y = stage.batched_fn(x, params, sample_rate, fast)
+                fn = (stage.fast_batched_fn if kind == "fast"
+                      else stage.batched_fn)
+                if chain.with_bypass and getattr(fn, "supports_active",
+                                                 False):
+                    # blend inside the stage (Pallas kernels do it at
+                    # write time) — the jnp.where select below is a full
+                    # extra HBM round trip of the population signal
+                    active = (W[:, start] <= 0.5).astype(jnp.float32)
+                    x = fn(x, params, sample_rate, fast, active=active)
+                    continue
+                y = fn(x, params, sample_rate, fast)
                 if chain.with_bypass:
                     active = (W[:, start] <= 0.5)[:, None, None]
                     y = jnp.where(active, y, x)

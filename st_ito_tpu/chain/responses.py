@@ -63,10 +63,11 @@ def eq_response(p: dict, omega: jnp.ndarray, sr: float, channels: int):
     return ("scalar", H)
 
 
-def eq_fast_batched(x, p, sr, fast: bool):
+def eq_fast_batched(x, p, sr, fast: bool, active=None):
     """Exact time-domain EQ via the Pallas biquad-cascade kernel — replaces
     the 2^19-point FFT pair on the ES hot path (~180 ms -> ~10 ms for a
-    256-candidate population) and is bit-faithful to scipy lfilter."""
+    256-candidate population) and is bit-faithful to scipy lfilter.
+    ``active``: optional (B,) float bypass mask blended in-kernel."""
     from st_ito_tpu.ops.pallas.scan import biquad_cascade_pallas
 
     sections = []
@@ -80,7 +81,11 @@ def eq_fast_batched(x, p, sr, fast: bool):
                                   p["high_shelf_q_factor"], sr, "high_shelf"))
     b = jnp.stack([s[0] for s in sections], axis=-2)  # (B, 6, 3)
     a = jnp.stack([s[1] for s in sections], axis=-2)
-    return biquad_cascade_pallas(x, b[:, None], a[:, None])
+    act = None if active is None else jnp.asarray(active, jnp.float32)[:, None]
+    return biquad_cascade_pallas(x, b[:, None], a[:, None], active=act)
+
+
+eq_fast_batched.supports_active = True
 
 
 # ----------------------------------------------------------------- delay
@@ -279,13 +284,18 @@ def _col(v):
     return jnp.asarray(v)[..., None, None]  # (B,) -> (B, 1, 1)
 
 
-def compressor_batched(x, p, sr, fast: bool):
+def compressor_batched(x, p, sr, fast: bool, active=None):
+    act = None if active is None else jnp.asarray(active, jnp.float32)[:, None]
     return _dyn.compressor(
         x, sr,
         threshold_db=_col(p["threshold_db"]), ratio=_col(p["ratio"]),
         attack_ms=_col(p["attack_ms"]), release_ms=_col(p["release_ms"]),
         knee_db=0.5, makeup_gain_db=0.0, link_channels=False, fast=fast,
+        active=act,
     )
+
+
+compressor_batched.supports_active = True
 
 
 def distortion_batched(x, p, sr, fast: bool):

@@ -145,6 +145,7 @@ def compressor(
     link_channels: bool = True,
     exact_ballistics: bool = False,
     fast: bool = False,
+    active=None,
 ) -> jnp.ndarray:
     """Feed-forward compressor on x of shape (..., C, T).
 
@@ -152,8 +153,13 @@ def compressor(
     reference chain executor's per-plugin stereo processing).
     ``fast=True`` routes the ballistics through the Pallas kernel on TPU
     (inference paths; not differentiable).
+    ``active``: optional per-item float bypass mask broadcastable to the
+    leading dims (1.0 = effect on); blended in-kernel on the fast path
+    (saving the executor-level select's extra HBM pass), arithmetically
+    otherwise.
     """
     eps = 1e-8
+    x_in = x  # pre-lookahead dry signal for the bypass blend
     alpha_a_ = _time_constant_alpha(attack_ms, sample_rate)
     alpha_r_ = _time_constant_alpha(release_ms, sample_rate)
     if (fast and not link_channels and lookahead_samples == 0
@@ -174,6 +180,7 @@ def compressor(
         return compressor_fused_pallas(
             x, to_lead(threshold_db), to_lead(ratio), to_lead(knee_db),
             to_lead(alpha_a_), to_lead(alpha_r_), to_lead(makeup_gain_db),
+            active=None if active is None else to_lead(active),
         )
     if link_channels:
         env = jnp.max(jnp.abs(x), axis=-2, keepdims=True)  # (..., 1, T)
@@ -200,7 +207,13 @@ def compressor(
 
     y = x * gain
     makeup = 10.0 ** (jnp.asarray(makeup_gain_db, jnp.float32) / 20.0)
-    return y * makeup
+    y = y * makeup
+    if active is not None:
+        act = jnp.asarray(active, jnp.float32)
+        while act.ndim < y.ndim:
+            act = act[..., None]
+        y = act * y + (1.0 - act) * x_in
+    return y
 
 
 def limiter(

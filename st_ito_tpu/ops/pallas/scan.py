@@ -70,20 +70,27 @@ def _ballistics_kernel(c_ref, aa_ref, ar_ref, out_ref, carry):
     carry[1] = g
 
 
-def _make_biquad_cascade_kernel(num_sections: int):
+def _make_biquad_cascade_kernel(num_sections: int, with_active: bool = False):
     """Kernel factory: ``num_sections`` exact TDF-II biquads in series over
     one (T_blk, 8, 128) block; 2 carried states per section.
 
     Replaces the EQ's FFT application on the ES hot path: a 2^19-point
     batched FFT pair costs ~180 ms on v5e while this kernel streams the
     block once through VMEM (~10 ms) and is bit-faithful to scipy lfilter.
+
+    ``with_active``: one extra per-lane vec ref (1.0 = effect on); the
+    bypass blend out = act*y + (1-act)*x happens at write time with the
+    input already in registers — the executor-level jnp.where select was
+    a full extra HBM round trip of the population signal.
     """
+    n_vec = 5 * num_sections + (1 if with_active else 0)
 
     def kernel(x_ref, *rest):
-        # rest = 5*num_sections coefficient refs, out_ref, carry
+        # rest = coefficient refs (+ active ref), out_ref, carry
         coeff_refs = rest[:5 * num_sections]
-        out_ref = rest[5 * num_sections]
-        carry = rest[5 * num_sections + 1]
+        act = rest[5 * num_sections][0] if with_active else None
+        out_ref = rest[n_vec]
+        carry = rest[n_vec + 1]
         t_idx = pl.program_id(1)
 
         @pl.when(t_idx == 0)
@@ -95,7 +102,8 @@ def _make_biquad_cascade_kernel(num_sections: int):
         T_blk = x_ref.shape[0]
 
         def body(t, states):
-            v = x_ref[t]
+            xin = x_ref[t]
+            v = xin
             new_states = []
             for s in range(num_sections):
                 b0, b1, b2, a1, a2 = coeffs[5 * s:5 * s + 5]
@@ -104,6 +112,8 @@ def _make_biquad_cascade_kernel(num_sections: int):
                 new_states.append(b1 * v - a1 * y + s2)
                 new_states.append(b2 * v - a2 * y)
                 v = y
+            if with_active:
+                v = act * v + (1.0 - act) * xin
             out_ref[t] = v
             return tuple(new_states)
 
@@ -121,10 +131,12 @@ def biquad_cascade_pallas(
     a: jnp.ndarray,
     t_block: int = 512,
     interpret: bool = False,
+    active=None,
 ) -> jnp.ndarray:
     """Exact serial biquad cascade over the last axis, parallel over leading
     dims. x: (..., T); b, a: (..., S, 3) with a0 = 1 (broadcast against x's
-    leading dims)."""
+    leading dims). ``active``: optional per-item float mask broadcastable
+    to the leading dims (1.0 = filter on, 0.0 = bypass), blended in-kernel."""
     lead_shape = x.shape[:-1]
     T = x.shape[-1]
     lead = int(np.prod(lead_shape)) if lead_shape else 1
@@ -135,9 +147,13 @@ def biquad_cascade_pallas(
     vec = []
     for s in range(S):
         vec.extend([b[:, s, 0], b[:, s, 1], b[:, s, 2], a[:, s, 1], a[:, s, 2]])
+    if active is not None:
+        act = jnp.broadcast_to(
+            jnp.asarray(active, jnp.float32), lead_shape).reshape(lead)
+        vec.append(act)
 
     out = _run_scan(
-        _make_biquad_cascade_kernel(S),
+        _make_biquad_cascade_kernel(S, with_active=active is not None),
         [x.reshape(lead, T).astype(jnp.float32)],
         vec, T, lead, t_block, interpret,
         carry_shape=(2 * S, _SUBLANE, _LANE),
@@ -148,58 +164,71 @@ def biquad_cascade_pallas(
 _LN10_OVER_20 = float(np.log(10.0) / 20.0)
 
 
-def _compressor_kernel(x_ref, th_ref, slope_ref, knee_ref, aa_ref, ar_ref,
-                       mk_ref, out_ref, carry):
+def _make_compressor_kernel(with_active: bool = False):
     """Fully fused feed-forward compressor over one (T_blk, 8, 128) block:
     |x| -> dB -> soft-knee gain computer -> decoupled ballistics -> linear
     gain -> apply. The unfused XLA form costs ~5 extra HBM round trips of
     the (pop, ch, T) signal (abs/log/gain-computer/exp/multiply passes) plus
     transcendental passes — all of it rides along with the recurrence here.
 
-    carry: (2, 8, 128) = (y1, g) detector state.
+    carry: (2, 8, 128) = (y1, g) detector state. ``with_active``: one
+    extra per-lane vec ref; the bypass blend happens at write time (the
+    executor-level select was a full extra HBM pass).
     """
-    t_idx = pl.program_id(1)
+    def kernel(x_ref, th_ref, slope_ref, knee_ref, aa_ref, ar_ref,
+               mk_ref, *rest):
+        act = rest[0][0] if with_active else None
+        out_ref = rest[1 if with_active else 0]
+        carry = rest[2 if with_active else 1]
+        t_idx = pl.program_id(1)
 
-    @pl.when(t_idx == 0)
-    def _():
-        carry[0] = jnp.zeros_like(carry[0])
-        carry[1] = jnp.zeros_like(carry[1])
+        @pl.when(t_idx == 0)
+        def _():
+            carry[0] = jnp.zeros_like(carry[0])
+            carry[1] = jnp.zeros_like(carry[1])
 
-    th = th_ref[0]
-    slope = slope_ref[0]  # 1/ratio - 1
-    knee = knee_ref[0]    # max(knee_db, 1e-3)
-    aa = aa_ref[0]
-    ar = ar_ref[0]
-    mk = mk_ref[0]        # linear makeup gain
-    T_blk = x_ref.shape[0]
+        th = th_ref[0]
+        slope = slope_ref[0]  # 1/ratio - 1
+        knee = knee_ref[0]    # max(knee_db, 1e-3)
+        aa = aa_ref[0]
+        ar = ar_ref[0]
+        mk = mk_ref[0]        # linear makeup gain
+        T_blk = x_ref.shape[0]
 
-    # transcendentals VECTORIZED over the whole block (putting them inside
-    # the sequential loop serializes them on the VPU — measured slower than
-    # the unfused form); only the 2-op recurrence runs per step, reading
-    # and rewriting out_ref in place as the gr -> g scratch.
-    xb = x_ref[:]
-    env_db = jnp.log(jnp.maximum(jnp.abs(xb), 1e-8)) * (20.0 / np.log(10.0))
-    over = env_db - th
-    knee_region = slope * (over + knee / 2.0) ** 2 / (2.0 * knee)
-    out_ref[:] = jnp.where(
-        2.0 * over < -knee,
-        jnp.zeros_like(over),
-        jnp.where(2.0 * over > knee, slope * over, knee_region),
-    )
+        # transcendentals VECTORIZED over the whole block (putting them
+        # inside the sequential loop serializes them on the VPU — measured
+        # slower than the unfused form); only the 2-op recurrence runs per
+        # step, reading and rewriting out_ref in place as the gr -> g
+        # scratch.
+        xb = x_ref[:]
+        env_db = jnp.log(jnp.maximum(jnp.abs(xb), 1e-8)) * (
+            20.0 / np.log(10.0))
+        over = env_db - th
+        knee_region = slope * (over + knee / 2.0) ** 2 / (2.0 * knee)
+        out_ref[:] = jnp.where(
+            2.0 * over < -knee,
+            jnp.zeros_like(over),
+            jnp.where(2.0 * over > knee, slope * over, knee_region),
+        )
 
-    def body(t, state):
-        y1, g = state
-        c = out_ref[t]
-        y1 = jnp.minimum(c, ar * y1 + (1.0 - ar) * c)
-        g = aa * g + (1.0 - aa) * y1
-        out_ref[t] = g
-        return (y1, g)
+        def body(t, state):
+            y1, g = state
+            c = out_ref[t]
+            y1 = jnp.minimum(c, ar * y1 + (1.0 - ar) * c)
+            g = aa * g + (1.0 - aa) * y1
+            out_ref[t] = g
+            return (y1, g)
 
-    y1, g = jax.lax.fori_loop(0, T_blk, body, (carry[0], carry[1]))
-    carry[0] = y1
-    carry[1] = g
+        y1, g = jax.lax.fori_loop(0, T_blk, body, (carry[0], carry[1]))
+        carry[0] = y1
+        carry[1] = g
 
-    out_ref[:] = xb * jnp.exp(out_ref[:] * _LN10_OVER_20) * mk
+        y = xb * jnp.exp(out_ref[:] * _LN10_OVER_20) * mk
+        if with_active:
+            y = act * y + (1.0 - act) * xb
+        out_ref[:] = y
+
+    return kernel
 
 
 def compressor_fused_pallas(
@@ -212,9 +241,11 @@ def compressor_fused_pallas(
     makeup_gain_db=0.0,
     t_block: int = 512,
     interpret: bool = False,
+    active=None,
 ) -> jnp.ndarray:
     """Whole unlinked compressor as one Pallas pass. x: (..., T); params
-    broadcastable to x's leading dims."""
+    broadcastable to x's leading dims. ``active``: optional per-item float
+    mask (1.0 = effect on), blended in-kernel."""
     lead_shape = x.shape[:-1]
     T = x.shape[-1]
     lead = int(np.prod(lead_shape)) if lead_shape else 1
@@ -229,10 +260,14 @@ def compressor_fused_pallas(
     aa = vec(alpha_attack)
     ar = vec(alpha_release)
     mk = vec(10.0 ** (jnp.asarray(makeup_gain_db, jnp.float32) / 20.0))
+    vecs = [th, slope, knee, aa, ar, mk]
+    if active is not None:
+        vecs.append(vec(active))
 
     out = _run_scan(
-        _compressor_kernel, [x.reshape(lead, T).astype(jnp.float32)],
-        [th, slope, knee, aa, ar, mk],
+        _make_compressor_kernel(with_active=active is not None),
+        [x.reshape(lead, T).astype(jnp.float32)],
+        vecs,
         T, lead, t_block, interpret,
     )
     return out.reshape(*lead_shape, T).astype(x.dtype)

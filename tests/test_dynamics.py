@@ -147,3 +147,49 @@ def test_fused_compressor_kernel_matches_unfused():
         jnp.zeros(lead), interpret=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_compressor_in_kernel_bypass_blend():
+    """active=0 rows must come back bit-identical to the input; active=1
+    rows must match the no-mask kernel output."""
+    from st_ito_tpu.ops.dynamics import _time_constant_alpha
+    from st_ito_tpu.ops.pallas.scan import compressor_fused_pallas
+
+    rng = np.random.default_rng(5)
+    B, C, T = 4, 2, 2048
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32) * 0.5)
+    lead = (B, C)
+    aa = _time_constant_alpha(5.0, 48000.0)
+    ar = _time_constant_alpha(80.0, 48000.0)
+    args = (x, jnp.full(lead, -20.0), jnp.full(lead, 6.0),
+            jnp.full(lead, 0.5), jnp.full(lead, aa), jnp.full(lead, ar),
+            jnp.zeros(lead))
+    act = jnp.asarray([1.0, 0.0, 1.0, 0.0])[:, None]
+    y_mask = compressor_fused_pallas(
+        *args, interpret=True, active=jnp.broadcast_to(act, lead))
+    y_on = compressor_fused_pallas(*args, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y_mask[1]), np.asarray(x[1]))
+    np.testing.assert_array_equal(np.asarray(y_mask[3]), np.asarray(x[3]))
+    np.testing.assert_allclose(np.asarray(y_mask[0]), np.asarray(y_on[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_mask[2]), np.asarray(y_on[2]),
+                               atol=1e-6)
+
+
+def test_biquad_cascade_in_kernel_bypass_blend():
+    from st_ito_tpu.ops.iir import biquad_coeffs
+    from st_ito_tpu.ops.pallas.scan import biquad_cascade_pallas
+
+    rng = np.random.default_rng(6)
+    B, T = 4, 2048
+    x = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+    b, a = biquad_coeffs(6.0, 1000.0, 0.7, 48000.0, "peaking")
+    b = jnp.broadcast_to(jnp.asarray(b), (B, 1, 3))
+    a = jnp.broadcast_to(jnp.asarray(a), (B, 1, 3))
+    act = jnp.asarray([1.0, 0.0, 0.0, 1.0])
+    y_mask = biquad_cascade_pallas(x, b, a, interpret=True, active=act)
+    y_on = biquad_cascade_pallas(x, b, a, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y_mask[1]), np.asarray(x[1]))
+    np.testing.assert_array_equal(np.asarray(y_mask[2]), np.asarray(x[2]))
+    np.testing.assert_allclose(np.asarray(y_mask[0]), np.asarray(y_on[0]),
+                               atol=1e-6)
