@@ -298,10 +298,19 @@ def compressor_batched(x, p, sr, fast: bool, active=None):
 compressor_batched.supports_active = True
 
 
-def distortion_batched(x, p, sr, fast: bool):
+def distortion_batched(x, p, sr, fast: bool, active=None):
     drive = 10.0 ** (_col(p["drive_db"]) / 20.0)
     out = 10.0 ** (_col(p["output_gain_db"]) / 20.0)
-    return jnp.tanh(x * drive) * out
+    y = jnp.tanh(x * drive) * out
+    if active is not None:
+        # arithmetic blend fuses into this elementwise pass; the
+        # executor-level select materialized a separate full HBM pass
+        act = jnp.asarray(active, jnp.float32)[:, None, None]
+        y = act * y + (1.0 - act) * x
+    return y
+
+
+distortion_batched.supports_active = True
 
 
 def limiter_batched(x, p, sr, fast: bool):
