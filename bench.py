@@ -33,14 +33,15 @@ def main():
                         help="small shapes on CPU for smoke testing")
     parser.add_argument("--popsize", type=int, default=0,
                         help="0 = auto (512 per device)")
-    parser.add_argument("--iters", type=int, default=120,
+    parser.add_argument("--iters", type=int, default=240,
                         help="timed ES generations (multiple of --block)")
-    parser.add_argument("--block", type=int, default=60,
+    parser.add_argument("--block", type=int, default=120,
                         help="generations per device dispatch; large "
-                        "blocks amortize tunneled-relay dispatch latency "
-                        "(measured 0.1-0.8 s/dispatch on bad days vs "
-                        "3-5 ms on good ones) so the recorded number "
-                        "tracks device throughput, not relay weather")
+                        "blocks amortize tunneled-relay round-trip "
+                        "latency (measured 0.1-1 s/round-trip on bad "
+                        "days vs 3-5 ms on good ones) so the recorded "
+                        "number tracks device throughput, not relay "
+                        "weather (block 60 -> 120 measured +3% wall)")
     parser.add_argument("--profile", type=str, default="",
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--length", type=int, default=0,

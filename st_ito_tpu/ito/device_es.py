@@ -198,11 +198,14 @@ def cma_tell(state: CMAState, consts: CMAConsts, X: jnp.ndarray,
 
 
 class BlockStats(NamedTuple):
-    """Per-generation statistics fetched once per k-generation block."""
+    """Per-generation statistics, PACKED into one array so the host pays
+    exactly ONE relay round trip per k-generation block (three separate
+    np.asarray fetches measured ~1 s each through the tunneled relay on
+    bad days — 3 s of host stall per block)."""
 
-    gen_min_fval: jnp.ndarray  # (k,) best fitness OF each generation
-    best_f: jnp.ndarray  # (k,) best-so-far AFTER each generation
-    best_x: jnp.ndarray  # (k, N) best-so-far AFTER each generation
+    packed: jnp.ndarray  # (k, N+2) f32: [:, 0] best fitness OF each
+    #                      generation, [:, 1] best-so-far AFTER each
+    #                      generation, [:, 2:] best-so-far candidate
 
 
 def make_block_runner(
@@ -260,11 +263,13 @@ def make_block_runner(
             fvals = fitness_impl(mparams, cparams, W_eval, xe, target_embeds,
                                  target_content_embeds, key_fit)
             st = cma_tell(st, consts, W, fvals.astype(jnp.float32))
-            return st, (jnp.min(fvals).astype(jnp.float32), st.best_f,
-                        st.best_x)
+            row = jnp.concatenate([
+                jnp.min(fvals).astype(jnp.float32)[None],
+                st.best_f[None], st.best_x])
+            return st, row
 
         keys = jax.random.split(key, k)
-        state, (gen_min, best_f, best_x) = jax.lax.scan(gen_step, state, keys)
-        return state, BlockStats(gen_min, best_f, best_x)
+        state, packed = jax.lax.scan(gen_step, state, keys)
+        return state, BlockStats(packed)
 
     return jax.jit(run)

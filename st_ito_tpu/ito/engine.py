@@ -665,9 +665,10 @@ def _run_es_device_loop(
         state, stats = runner(state, fitness._model_params,
                               fitness._content_params, x_eval, target_embed,
                               target_content_embed, sub, lift_args)
-        gen_min = np.asarray(stats.gen_min_fval)
-        best_f = np.asarray(stats.best_f)
-        best_x = np.asarray(stats.best_x)
+        packed = np.asarray(stats.packed)  # ONE relay round trip per block
+        gen_min = packed[:, 0]
+        best_f = packed[:, 1]
+        best_x = packed[:, 2:]
         for j in range(k):
             prev_best = min(fval_history) if fval_history else None
             total_evals += popsize
@@ -701,9 +702,9 @@ def _run_es_device_loop(
                               target_embed, target_content_embed, sub,
                               lift_args)
         total_evals += popsize
-        fval_history.append(float(np.asarray(stats.best_f)[0]))
-        wopt_history.append(lift_np(
-            np.asarray(stats.best_x)[0].astype(np.float64)))
+        packed = np.asarray(stats.packed)
+        fval_history.append(float(packed[0, 1]))
+        wopt_history.append(lift_np(packed[0, 2:].astype(np.float64)))
         if es_state_path is not None:
             np.savez(es_state_path, **device_es.state_to_dict(state))
 
