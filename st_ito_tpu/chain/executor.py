@@ -147,6 +147,23 @@ def build_batched_render_fn(
         else:
             plan.append(("nl", [i]))
 
+    # the basic chain opens with EQ -> compressor: two adjacent Pallas scan
+    # kernels, each paying a (lead, T) <-> (T, G, 8, 128) relayout pair plus
+    # a full HBM round trip of the population signal for the intermediate —
+    # fuse them into ONE kernel (ops/pallas/scan.py eq_compressor_fused)
+    if use_pallas:
+        merged: list[tuple[str, list[int]]] = []
+        for entry in plan:
+            if (merged
+                    and merged[-1][0] == "fast"
+                    and entry[0] == "nl"
+                    and slices[merged[-1][1][0]][0].effect == "parametric_eq"
+                    and slices[entry[1][0]][0].effect == "compressor"):
+                merged[-1] = ("eqcomp", merged[-1][1] + entry[1])
+            else:
+                merged.append(entry)
+        plan = merged
+
     def stage_params(stage: StageSpec, W: jnp.ndarray, start: int):
         out = {}
         for j, p in enumerate(stage.params):

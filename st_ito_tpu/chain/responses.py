@@ -70,22 +70,61 @@ def eq_fast_batched(x, p, sr, fast: bool, active=None):
     ``active``: optional (B,) float bypass mask blended in-kernel."""
     from st_ito_tpu.ops.pallas.scan import biquad_cascade_pallas
 
-    sections = []
-    sections.append(biquad_coeffs(p["low_shelf_gain_db"], p["low_shelf_cutoff_freq"],
-                                  p["low_shelf_q_factor"], sr, "low_shelf"))
-    for i in range(4):
-        sections.append(biquad_coeffs(p[f"band{i}_gain_db"], p[f"band{i}_cutoff_freq"],
-                                      p[f"band{i}_q_factor"], sr, "peaking"))
-    sections.append(biquad_coeffs(p["high_shelf_gain_db"],
-                                  p["high_shelf_cutoff_freq"],
-                                  p["high_shelf_q_factor"], sr, "high_shelf"))
-    b = jnp.stack([s[0] for s in sections], axis=-2)  # (B, 6, 3)
-    a = jnp.stack([s[1] for s in sections], axis=-2)
+    b, a = _eq_section_stack(p, sr)  # (B, 6, 3) each
     act = None if active is None else jnp.asarray(active, jnp.float32)[:, None]
     return biquad_cascade_pallas(x, b[:, None], a[:, None], active=act)
 
 
 eq_fast_batched.supports_active = True
+
+
+def _eq_section_stack(p, sr):
+    """(B, 6, 3) biquad coefficient stacks for the basic parametric EQ."""
+    sections = []
+    sections.append(biquad_coeffs(p["low_shelf_gain_db"],
+                                  p["low_shelf_cutoff_freq"],
+                                  p["low_shelf_q_factor"], sr, "low_shelf"))
+    for i in range(4):
+        sections.append(biquad_coeffs(p[f"band{i}_gain_db"],
+                                      p[f"band{i}_cutoff_freq"],
+                                      p[f"band{i}_q_factor"], sr, "peaking"))
+    sections.append(biquad_coeffs(p["high_shelf_gain_db"],
+                                  p["high_shelf_cutoff_freq"],
+                                  p["high_shelf_q_factor"], sr, "high_shelf"))
+    b = jnp.stack([s[0] for s in sections], axis=-2)
+    a = jnp.stack([s[1] for s in sections], axis=-2)
+    return b, a
+
+
+def eq_comp_fast_batched(x, p_eq, p_comp, sr, active_eq=None,
+                         active_comp=None):
+    """Adjacent EQ -> compressor stages as ONE Pallas pass (the basic
+    chain's first two stages, reference: scripts/run_optim.py:375-407).
+    Semantically identical to eq_fast_batched followed by
+    compressor_batched(fast=True) — the fusion saves a dispatch, two
+    (lead, T) <-> (T, G, 8, 128) relayout pairs, and a full HBM round trip
+    of the (pop, ch, T) intermediate (~2 GB/gen at pop 512, T 262144).
+    ``active_*``: optional (B,) float bypass masks blended in-kernel at
+    each stage boundary."""
+    from st_ito_tpu.ops.pallas.scan import eq_compressor_fused_pallas
+    from st_ito_tpu.ops.dynamics import _time_constant_alpha
+
+    b, a = _eq_section_stack(p_eq, sr)
+
+    def col(v):  # (B,) -> (B, 1) broadcast over channels
+        return jnp.asarray(v, jnp.float32)[:, None]
+
+    return eq_compressor_fused_pallas(
+        x, b[:, None], a[:, None],
+        threshold_db=col(p_comp["threshold_db"]),
+        ratio=col(p_comp["ratio"]),
+        knee_db=0.5,
+        alpha_attack=col(_time_constant_alpha(p_comp["attack_ms"], sr)),
+        alpha_release=col(_time_constant_alpha(p_comp["release_ms"], sr)),
+        makeup_gain_db=0.0,
+        eq_active=None if active_eq is None else col(active_eq),
+        comp_active=None if active_comp is None else col(active_comp),
+    )
 
 
 # ----------------------------------------------------------------- delay

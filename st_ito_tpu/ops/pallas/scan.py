@@ -164,6 +164,166 @@ def biquad_cascade_pallas(
 _LN10_OVER_20 = float(np.log(10.0) / 20.0)
 
 
+def _make_eq_comp_kernel(num_sections: int, eq_active: bool,
+                         comp_active: bool):
+    """Kernel factory: biquad-cascade EQ followed by the fully fused
+    feed-forward compressor in ONE Pallas pass over one (T_blk, 8, 128)
+    block.
+
+    Why fused: on the basic chain (EQ -> compressor, reference:
+    scripts/run_optim.py:375-407) the two kernels are adjacent; run
+    separately each pays a (lead, T) <-> (T, G, 8, 128) relayout pair plus
+    a full HBM round trip of the (pop, ch, T) signal for the intermediate.
+    Fusing keeps the EQ output in VMEM and feeds the compressor directly —
+    two dispatches, two transposes and ~2 GB/gen of traffic become one
+    dispatch at pop 512 / T 262144.
+
+    vec refs, in order: 5*S biquad coeffs, [eq_act], th, slope, knee,
+    aa, ar, mk, [comp_act]. carry: (2*S + 2, 8, 128) = biquad states +
+    (y1, g) detector state. One extra (T_blk, 8, 128) VMEM scratch holds
+    the gain curve (out_ref holds the EQ output the final apply needs).
+    """
+    n_eq = 5 * num_sections + (1 if eq_active else 0)
+    n_vec = n_eq + 6 + (1 if comp_active else 0)
+
+    def kernel(x_ref, *rest):
+        coeff_refs = rest[:5 * num_sections]
+        eq_act = rest[5 * num_sections][0] if eq_active else None
+        th, slope, knee, aa, ar, mk = (rest[n_eq + i][0] for i in range(6))
+        comp_act = rest[n_eq + 6][0] if comp_active else None
+        out_ref = rest[n_vec]
+        carry = rest[n_vec + 1]
+        gbuf = rest[n_vec + 2]
+        t_idx = pl.program_id(1)
+
+        @pl.when(t_idx == 0)
+        def _():
+            for i in range(2 * num_sections + 2):
+                carry[i] = jnp.zeros_like(carry[i])
+
+        coeffs = [coeff_refs[i][0] for i in range(5 * num_sections)]
+        T_blk = x_ref.shape[0]
+
+        # ---- EQ: serial biquad cascade, blended output lands in out_ref
+        def eq_body(t, states):
+            xin = x_ref[t]
+            v = xin
+            new_states = []
+            for s in range(num_sections):
+                b0, b1, b2, a1, a2 = coeffs[5 * s:5 * s + 5]
+                s1, s2 = states[2 * s], states[2 * s + 1]
+                y = b0 * v + s1
+                new_states.append(b1 * v - a1 * y + s2)
+                new_states.append(b2 * v - a2 * y)
+                v = y
+            if eq_active:
+                v = eq_act * v + (1.0 - eq_act) * xin
+            out_ref[t] = v
+            return tuple(new_states)
+
+        init = tuple(carry[i] for i in range(2 * num_sections))
+        final = jax.lax.fori_loop(0, T_blk, eq_body, init)
+        for i in range(2 * num_sections):
+            carry[i] = final[i]
+
+        # ---- compressor on the EQ output: vectorized gain computer,
+        # sequential ballistics, vectorized apply (same structure as
+        # _make_compressor_kernel — transcendentals stay out of the loop)
+        xb = out_ref[:]
+        env_db = jnp.log(jnp.maximum(jnp.abs(xb), 1e-8)) * (
+            20.0 / np.log(10.0))
+        over = env_db - th
+        knee_region = slope * (over + knee / 2.0) ** 2 / (2.0 * knee)
+        gbuf[:] = jnp.where(
+            2.0 * over < -knee,
+            jnp.zeros_like(over),
+            jnp.where(2.0 * over > knee, slope * over, knee_region),
+        )
+
+        def comp_body(t, state):
+            y1, g = state
+            c = gbuf[t]
+            y1 = jnp.minimum(c, ar * y1 + (1.0 - ar) * c)
+            g = aa * g + (1.0 - aa) * y1
+            gbuf[t] = g
+            return (y1, g)
+
+        y1, g = jax.lax.fori_loop(
+            0, T_blk, comp_body,
+            (carry[2 * num_sections], carry[2 * num_sections + 1]))
+        carry[2 * num_sections] = y1
+        carry[2 * num_sections + 1] = g
+
+        y = xb * jnp.exp(gbuf[:] * _LN10_OVER_20) * mk
+        if comp_active:
+            y = comp_act * y + (1.0 - comp_act) * xb
+        out_ref[:] = y
+
+    return kernel
+
+
+def eq_compressor_fused_pallas(
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    a: jnp.ndarray,
+    threshold_db,
+    ratio,
+    knee_db,
+    alpha_attack,
+    alpha_release,
+    makeup_gain_db=0.0,
+    eq_active=None,
+    comp_active=None,
+    t_block: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Biquad-cascade EQ immediately followed by the unlinked feed-forward
+    compressor, as ONE Pallas pass. x: (..., T); b, a: (..., S, 3) with
+    a0 = 1; compressor params broadcastable to x's leading dims.
+    eq_active / comp_active: optional per-item float bypass masks
+    (1.0 = effect on), each blended in-kernel at its stage boundary —
+    identical semantics to running biquad_cascade_pallas then
+    compressor_fused_pallas with the respective masks."""
+    lead_shape = x.shape[:-1]
+    T = x.shape[-1]
+    lead = int(np.prod(lead_shape)) if lead_shape else 1
+    S = b.shape[-2]
+
+    b = jnp.broadcast_to(b, lead_shape + b.shape[-2:]).reshape(lead, S, 3)
+    a = jnp.broadcast_to(a, lead_shape + a.shape[-2:]).reshape(lead, S, 3)
+
+    def vec(v):
+        return jnp.broadcast_to(
+            jnp.asarray(v, jnp.float32), lead_shape).reshape(lead)
+
+    vecs = []
+    for s in range(S):
+        vecs.extend([b[:, s, 0], b[:, s, 1], b[:, s, 2],
+                     a[:, s, 1], a[:, s, 2]])
+    if eq_active is not None:
+        vecs.append(vec(eq_active))
+    vecs.extend([
+        vec(threshold_db),
+        vec(1.0 / jnp.asarray(ratio, jnp.float32) - 1.0),
+        vec(jnp.maximum(jnp.asarray(knee_db, jnp.float32), 1e-3)),
+        vec(alpha_attack),
+        vec(alpha_release),
+        vec(10.0 ** (jnp.asarray(makeup_gain_db, jnp.float32) / 20.0)),
+    ])
+    if comp_active is not None:
+        vecs.append(vec(comp_active))
+
+    out = _run_scan(
+        _make_eq_comp_kernel(S, eq_active is not None,
+                             comp_active is not None),
+        [x.reshape(lead, T).astype(jnp.float32)],
+        vecs, T, lead, t_block, interpret,
+        carry_shape=(2 * S + 2, _SUBLANE, _LANE),
+        gain_scratch=True,
+    )
+    return out.reshape(*lead_shape, T).astype(x.dtype)
+
+
 def _make_compressor_kernel(with_active: bool = False):
     """Fully fused feed-forward compressor over one (T_blk, 8, 128) block:
     |x| -> dB -> soft-knee gain computer -> decoupled ballistics -> linear
@@ -306,7 +466,7 @@ def _pad_to(x, n, axis):
 
 
 def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
-              carry_shape=(2, _SUBLANE, _LANE)):
+              carry_shape=(2, _SUBLANE, _LANE), gain_scratch=False):
     """seq_inputs: list of (lead, T) arrays; vec_inputs: list of (lead,)
     arrays broadcast per recurrence. Returns (lead, T)."""
     G = -(-lead // _TILE)
@@ -340,7 +500,10 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
     )
 
     def kernel_wrap(*refs):
-        *ins, out_ref, carry = refs
+        if gain_scratch:
+            *ins, out_ref, carry, gbuf = refs
+        else:
+            *ins, out_ref, carry = refs
         # drop the singleton G axis from each block view
         class _View:
             def __init__(self, ref):
@@ -354,7 +517,10 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
                 self._ref[t, 0] = v
 
         views = [_View(r) for r in ins]
-        kernel(*views, _View(out_ref), carry)
+        if gain_scratch:
+            kernel(*views, _View(out_ref), carry, gbuf)
+        else:
+            kernel(*views, _View(out_ref), carry)
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -362,7 +528,10 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
         in_specs=[seq_spec] * len(seq) + [vec_spec] * len(vec),
         out_specs=seq_spec,
         out_shape=jax.ShapeDtypeStruct((T_pad, G, _SUBLANE, _LANE), jnp.float32),
-        scratch_shapes=[pltpu.VMEM(carry_shape, jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM(carry_shape, jnp.float32)]
+            + ([pltpu.VMEM((t_block, _SUBLANE, _LANE), jnp.float32)]
+               if gain_scratch else [])),
         interpret=interpret,
     )(*seq, *vec)
 
