@@ -147,10 +147,11 @@ def build_batched_render_fn(
         else:
             plan.append(("nl", [i]))
 
-    # the basic chain opens with EQ -> compressor: two adjacent Pallas scan
-    # kernels, each paying a (lead, T) <-> (T, G, 8, 128) relayout pair plus
-    # a full HBM round trip of the population signal for the intermediate —
-    # fuse them into ONE kernel (ops/pallas/scan.py eq_compressor_fused)
+    # the basic chain opens with EQ -> compressor -> distortion: adjacent
+    # Pallas scan / elementwise passes, each paying a (lead, T) <->
+    # (T, G, 8, 128) relayout pair plus a full HBM round trip of the
+    # population signal for the intermediate — fuse them into ONE kernel
+    # (ops/pallas/scan.py eq_compressor_fused_pallas)
     if use_pallas:
         merged: list[tuple[str, list[int]]] = []
         for entry in plan:
@@ -159,6 +160,12 @@ def build_batched_render_fn(
                     and entry[0] == "nl"
                     and slices[merged[-1][1][0]][0].effect == "parametric_eq"
                     and slices[entry[1][0]][0].effect == "compressor"):
+                merged[-1] = ("eqcomp", merged[-1][1] + entry[1])
+            elif (merged
+                    and merged[-1][0] == "eqcomp"
+                    and len(merged[-1][1]) == 2
+                    and entry[0] == "nl"
+                    and slices[entry[1][0]][0].effect == "distortion"):
                 merged[-1] = ("eqcomp", merged[-1][1] + entry[1])
             else:
                 merged.append(entry)
@@ -185,6 +192,26 @@ def build_batched_render_fn(
             if any(s.num_channels == 2 for s, _, _ in stages) and x.shape[1] == 1:
                 x = jnp.concatenate([x, x], axis=1)
             C = x.shape[1]
+
+            if kind == "eqcomp":
+                (eq_stage, eq_start, _), (c_stage, c_start, _) = stages[:2]
+                p_eq = stage_params(eq_stage, W, eq_start)
+                p_c = stage_params(c_stage, W, c_start)
+                p_d = a_eq = a_c = a_d = None
+                if len(stages) == 3:  # trailing distortion absorbed
+                    d_stage, d_start, _ = stages[2]
+                    p_d = stage_params(d_stage, W, d_start)
+                if chain.with_bypass:
+                    a_eq = (W[:, eq_start] <= 0.5).astype(jnp.float32)
+                    a_c = (W[:, c_start] <= 0.5).astype(jnp.float32)
+                    if p_d is not None:
+                        a_d = (W[:, d_start] <= 0.5).astype(jnp.float32)
+                from st_ito_tpu.chain.responses import eq_comp_fast_batched
+
+                x = eq_comp_fast_batched(x, p_eq, p_c, sample_rate,
+                                         active_eq=a_eq, active_comp=a_c,
+                                         p_dist=p_d, active_dist=a_d)
+                continue
 
             if kind in ("nl", "fast"):
                 stage, start, _ = stages[0]

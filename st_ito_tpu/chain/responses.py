@@ -97,13 +97,14 @@ def _eq_section_stack(p, sr):
 
 
 def eq_comp_fast_batched(x, p_eq, p_comp, sr, active_eq=None,
-                         active_comp=None):
-    """Adjacent EQ -> compressor stages as ONE Pallas pass (the basic
-    chain's first two stages, reference: scripts/run_optim.py:375-407).
+                         active_comp=None, p_dist=None, active_dist=None):
+    """Adjacent EQ -> compressor (-> distortion) stages as ONE Pallas pass
+    (the basic chain's first stages, reference: scripts/run_optim.py:375-407).
     Semantically identical to eq_fast_batched followed by
-    compressor_batched(fast=True) — the fusion saves a dispatch, two
-    (lead, T) <-> (T, G, 8, 128) relayout pairs, and a full HBM round trip
-    of the (pop, ch, T) intermediate (~2 GB/gen at pop 512, T 262144).
+    compressor_batched(fast=True) (followed by distortion_batched) — the
+    fusion saves dispatches, (lead, T) <-> (T, G, 8, 128) relayout pairs,
+    and full HBM round trips of the (pop, ch, T) intermediates
+    (~2 GB/gen each at pop 512, T 262144).
     ``active_*``: optional (B,) float bypass masks blended in-kernel at
     each stage boundary."""
     from st_ito_tpu.ops.pallas.scan import eq_compressor_fused_pallas
@@ -124,6 +125,10 @@ def eq_comp_fast_batched(x, p_eq, p_comp, sr, active_eq=None,
         makeup_gain_db=0.0,
         eq_active=None if active_eq is None else col(active_eq),
         comp_active=None if active_comp is None else col(active_comp),
+        drive_db=None if p_dist is None else col(p_dist["drive_db"]),
+        dist_gain_db=(0.0 if p_dist is None
+                      else col(p_dist["output_gain_db"])),
+        dist_active=None if active_dist is None else col(active_dist),
     )
 
 

@@ -165,32 +165,41 @@ _LN10_OVER_20 = float(np.log(10.0) / 20.0)
 
 
 def _make_eq_comp_kernel(num_sections: int, eq_active: bool,
-                         comp_active: bool):
+                         comp_active: bool, with_dist: bool = False,
+                         dist_active: bool = False):
     """Kernel factory: biquad-cascade EQ followed by the fully fused
-    feed-forward compressor in ONE Pallas pass over one (T_blk, 8, 128)
-    block.
+    feed-forward compressor (and optionally the tanh distortion) in ONE
+    Pallas pass over one (T_blk, 8, 128) block.
 
-    Why fused: on the basic chain (EQ -> compressor, reference:
-    scripts/run_optim.py:375-407) the two kernels are adjacent; run
+    Why fused: on the basic chain (EQ -> compressor -> distortion,
+    reference: scripts/run_optim.py:375-407) the stages are adjacent; run
     separately each pays a (lead, T) <-> (T, G, 8, 128) relayout pair plus
     a full HBM round trip of the (pop, ch, T) signal for the intermediate.
-    Fusing keeps the EQ output in VMEM and feeds the compressor directly —
-    two dispatches, two transposes and ~2 GB/gen of traffic become one
-    dispatch at pop 512 / T 262144.
+    Fusing keeps the EQ output in VMEM and feeds the compressor (and the
+    elementwise distortion) directly — three dispatches and ~4 GB/gen of
+    traffic become one dispatch at pop 512 / T 262144.
 
     vec refs, in order: 5*S biquad coeffs, [eq_act], th, slope, knee,
-    aa, ar, mk, [comp_act]. carry: (2*S + 2, 8, 128) = biquad states +
-    (y1, g) detector state. One extra (T_blk, 8, 128) VMEM scratch holds
-    the gain curve (out_ref holds the EQ output the final apply needs).
+    aa, ar, mk, [comp_act], [drive, outg, [dist_act]]. carry:
+    (2*S + 2, 8, 128) = biquad states + (y1, g) detector state. One extra
+    (T_blk, 8, 128) VMEM scratch holds the gain curve (out_ref holds the
+    EQ output the final apply needs).
     """
     n_eq = 5 * num_sections + (1 if eq_active else 0)
-    n_vec = n_eq + 6 + (1 if comp_active else 0)
+    n_comp = 6 + (1 if comp_active else 0)
+    n_vec = n_eq + n_comp + (
+        (2 + (1 if dist_active else 0)) if with_dist else 0)
 
     def kernel(x_ref, *rest):
         coeff_refs = rest[:5 * num_sections]
         eq_act = rest[5 * num_sections][0] if eq_active else None
         th, slope, knee, aa, ar, mk = (rest[n_eq + i][0] for i in range(6))
         comp_act = rest[n_eq + 6][0] if comp_active else None
+        if with_dist:
+            base = n_eq + n_comp
+            drive = rest[base][0]
+            outg = rest[base + 1][0]
+            dist_act = rest[base + 2][0] if dist_active else None
         out_ref = rest[n_vec]
         carry = rest[n_vec + 1]
         gbuf = rest[n_vec + 2]
@@ -257,6 +266,12 @@ def _make_eq_comp_kernel(num_sections: int, eq_active: bool,
         y = xb * jnp.exp(gbuf[:] * _LN10_OVER_20) * mk
         if comp_active:
             y = comp_act * y + (1.0 - comp_act) * xb
+        if with_dist:
+            yd = jnp.tanh(y * drive) * outg
+            if dist_active:
+                y = dist_act * yd + (1.0 - dist_act) * y
+            else:
+                y = yd
         out_ref[:] = y
 
     return kernel
@@ -274,16 +289,21 @@ def eq_compressor_fused_pallas(
     makeup_gain_db=0.0,
     eq_active=None,
     comp_active=None,
+    drive_db=None,
+    dist_gain_db=0.0,
+    dist_active=None,
     t_block: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Biquad-cascade EQ immediately followed by the unlinked feed-forward
-    compressor, as ONE Pallas pass. x: (..., T); b, a: (..., S, 3) with
-    a0 = 1; compressor params broadcastable to x's leading dims.
-    eq_active / comp_active: optional per-item float bypass masks
-    (1.0 = effect on), each blended in-kernel at its stage boundary —
-    identical semantics to running biquad_cascade_pallas then
-    compressor_fused_pallas with the respective masks."""
+    compressor (and, when ``drive_db`` is given, the tanh distortion with
+    its output gain), as ONE Pallas pass. x: (..., T); b, a: (..., S, 3)
+    with a0 = 1; compressor/distortion params broadcastable to x's leading
+    dims. eq_active / comp_active / dist_active: optional per-item float
+    bypass masks (1.0 = effect on), each blended in-kernel at its stage
+    boundary — identical semantics to running biquad_cascade_pallas,
+    compressor_fused_pallas, then tanh(y*drive)*outg with the respective
+    masks."""
     lead_shape = x.shape[:-1]
     T = x.shape[-1]
     lead = int(np.prod(lead_shape)) if lead_shape else 1
@@ -312,10 +332,19 @@ def eq_compressor_fused_pallas(
     ])
     if comp_active is not None:
         vecs.append(vec(comp_active))
+    with_dist = drive_db is not None
+    if with_dist:
+        vecs.append(vec(10.0 ** (jnp.asarray(drive_db, jnp.float32) / 20.0)))
+        vecs.append(vec(10.0 ** (jnp.asarray(dist_gain_db,
+                                             jnp.float32) / 20.0)))
+        if dist_active is not None:
+            vecs.append(vec(dist_active))
 
     out = _run_scan(
         _make_eq_comp_kernel(S, eq_active is not None,
-                             comp_active is not None),
+                             comp_active is not None,
+                             with_dist=with_dist,
+                             dist_active=dist_active is not None),
         [x.reshape(lead, T).astype(jnp.float32)],
         vecs, T, lead, t_block, interpret,
         carry_shape=(2 * S + 2, _SUBLANE, _LANE),
@@ -522,6 +551,14 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
         else:
             kernel(*views, _View(out_ref), carry)
 
+    kwargs = {}
+    if not interpret:
+        # the eq+comp(+dist) fused kernel's buffers (in/out double-buffered
+        # blocks + gain scratch + ~35 vec refs) exceed the default 16 MB
+        # scoped-vmem limit at t_block 512 (measured 17.9 MB); v5e has
+        # 128 MB physical
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
         kernel_wrap,
         grid=grid,
@@ -533,6 +570,7 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
             + ([pltpu.VMEM((t_block, _SUBLANE, _LANE), jnp.float32)]
                if gain_scratch else [])),
         interpret=interpret,
+        **kwargs,
     )(*seq, *vec)
 
     out = out.reshape(T_pad, lead_pad).T

@@ -125,6 +125,109 @@ def test_pallas_scan_interpret_matches():
         np.asarray(linear_recurrence(a, b)), atol=1e-4)
 
 
+def test_eq_compressor_fused_kernel_matches_unfused():
+    """The single-pass EQ->compressor kernel must equal running the biquad
+    cascade then the fused compressor separately (interpret mode), including
+    in-kernel per-stage bypass blending."""
+    from st_ito_tpu.chain.responses import _eq_section_stack
+    from st_ito_tpu.ops.dynamics import _time_constant_alpha
+    from st_ito_tpu.ops.pallas import scan as ps
+
+    B, C, T = 3, 2, 3000
+    x = jnp.asarray((RNG.standard_normal((B, C, T)) * 0.4).astype(np.float32))
+    eq_stage = basic_parametric_eq()
+    p_eq = {
+        p.name: p.denormalize(
+            jnp.asarray(RNG.uniform(0.2, 0.8, B).astype(np.float32)))
+        for p in eq_stage.params
+    }
+    b, a = _eq_section_stack(p_eq, SR)
+    th = jnp.asarray(RNG.uniform(-40, -10, B).astype(np.float32))
+    ratio = jnp.asarray(RNG.uniform(2, 8, B).astype(np.float32))
+    aa = _time_constant_alpha(
+        jnp.asarray(RNG.uniform(1, 20, B).astype(np.float32)), SR)
+    ar = _time_constant_alpha(
+        jnp.asarray(RNG.uniform(20, 200, B).astype(np.float32)), SR)
+    eq_act = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+    c_act = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+
+    def col(v):
+        return v[:, None]
+
+    drive_db = jnp.asarray(RNG.uniform(-6, 24, B).astype(np.float32))
+    outg_db = jnp.asarray(RNG.uniform(-6, 6, B).astype(np.float32))
+    d_act = jnp.asarray([0.0, 1.0, 1.0], jnp.float32)
+
+    y_fused = ps.eq_compressor_fused_pallas(
+        x, b[:, None], a[:, None], threshold_db=col(th), ratio=col(ratio),
+        knee_db=0.5, alpha_attack=col(aa), alpha_release=col(ar),
+        makeup_gain_db=0.0, eq_active=col(eq_act), comp_active=col(c_act),
+        drive_db=col(drive_db), dist_gain_db=col(outg_db),
+        dist_active=col(d_act), t_block=256, interpret=True)
+    y_eq = ps.biquad_cascade_pallas(x, b[:, None], a[:, None], t_block=256,
+                                    interpret=True, active=col(eq_act))
+    y_c = ps.compressor_fused_pallas(
+        y_eq, col(th), col(ratio), 0.5, col(aa), col(ar), 0.0,
+        t_block=256, interpret=True, active=col(c_act))
+    y_d = (jnp.tanh(y_c * 10 ** (drive_db[:, None, None] / 20.0))
+           * 10 ** (outg_db[:, None, None] / 20.0))
+    act3 = d_act[:, None, None]
+    y_ref = act3 * y_d + (1.0 - act3) * y_c
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=1e-5)
+
+    # two-stage form (no distortion) still matches
+    y2 = ps.eq_compressor_fused_pallas(
+        x, b[:, None], a[:, None], threshold_db=col(th), ratio=col(ratio),
+        knee_db=0.5, alpha_attack=col(aa), alpha_release=col(ar),
+        makeup_gain_db=0.0, eq_active=col(eq_act), comp_active=col(c_act),
+        t_block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_c), atol=1e-5)
+
+
+def test_executor_eqcomp_merge_matches_unfused(monkeypatch):
+    """The executor's ("eqcomp", ...) plan merge (TPU fast path) must render
+    identically to the two stages run as separate chains. Forces the TPU
+    plan on CPU and runs every Pallas scan kernel in interpret mode."""
+    import functools
+
+    from st_ito_tpu.ops.pallas import scan as ps
+
+    for name in ("biquad_cascade_pallas", "compressor_fused_pallas",
+                 "eq_compressor_fused_pallas"):
+        monkeypatch.setattr(ps, name,
+                            functools.partial(getattr(ps, name),
+                                              interpret=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    chain = ChainSpec(stages=(basic_parametric_eq(), basic_compressor(),
+                              basic_distortion()),
+                      with_bypass=True)
+    x = _x(1, 4096)
+    W = np.asarray(RNG.uniform(0.2, 0.8,
+                               (4, chain.num_params)).astype(np.float32))
+    ((_, eq_start, eq_end), (_, c_start, c_end),
+     (_, d_start, _)) = chain.stage_slices()
+    W[0, eq_start] = 0.9   # candidate 0: EQ bypassed
+    W[1, c_start] = 0.9    # candidate 1: compressor bypassed
+    W[2, d_start] = 0.9    # candidate 2: distortion bypassed
+    W = jnp.asarray(W)
+
+    y_fused = build_batched_render_fn(chain, SR, 1, fast=True)(W, x)
+
+    eq_chain = ChainSpec(stages=(basic_parametric_eq(),), with_bypass=True)
+    c_chain = ChainSpec(stages=(basic_compressor(),), with_bypass=True)
+    d_chain = ChainSpec(stages=(basic_distortion(),), with_bypass=True)
+    r_eq = build_batched_render_fn(eq_chain, SR, 1, fast=True,
+                                   peak_normalize_output=False)
+    r_c = build_batched_render_fn(c_chain, SR, 1, fast=True,
+                                  peak_normalize_output=False)
+    r_d = build_batched_render_fn(d_chain, SR, 1, fast=True)
+    y_ref = r_d(W[:, c_end:], r_c(W[:, eq_end:c_end], r_eq(W[:, :eq_end], x)))
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=1e-5)
+
+
 def test_run_es_multitrack():
     from st_ito_tpu.ito import run_es_multitrack
     from st_ito_tpu.models.registry import (
