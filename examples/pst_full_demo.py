@@ -72,11 +72,17 @@ def get_or_train_encoder(out_dir, sources, steps, num_examples=768):
     return load_param_model(enc_path)
 
 
-def train_style_system(chain, loss_type, sources, steps, batch_size=4,
-                       T=131072, seed=0, cache_path=None):
-    """On-the-fly style system training on the benchmark chain. The trained
-    params are cached so a resumed demo run skips straight to the
-    benchmark."""
+def train_style_system(chain, loss_type, sources, steps, batch_size=16,
+                       T=131072, seed=0, cache_path=None, lr=3e-4,
+                       embed_dim=64, base_channels=16, val_every=100,
+                       val_sources=None, log_path=None):
+    """On-the-fly style system training on the benchmark chain, with a
+    fixed-task validation curve (same held-out inputs + same on-the-fly
+    parameter draws at every eval, so the curve is comparable across
+    steps). The trained params are cached so a resumed demo run skips
+    straight to the benchmark. The reference loads CONVERGED pretrained
+    systems (eval_pst.py:957-973); competence here requires thousands of
+    steps with the MultiStepLR schedule (total_steps)."""
     import pickle
 
     import jax
@@ -86,9 +92,9 @@ def train_style_system(chain, loss_type, sources, steps, batch_size=4,
     from st_ito_tpu.train.style import StyleTransferConfig, StyleTransferSystem
 
     cfg = StyleTransferConfig(
-        encoder=Cnn14Config(embed_dim=64, base_channels=16),
+        encoder=Cnn14Config(embed_dim=embed_dim, base_channels=base_channels),
         loss_type=loss_type, on_the_fly=True, split_section=True,
-        analysis_length=65536, lr=1e-4,
+        analysis_length=65536, lr=lr, total_steps=steps,
     )
     system = StyleTransferSystem(cfg, chain=chain)
     state = system.init(jax.random.PRNGKey(seed))
@@ -99,6 +105,7 @@ def train_style_system(chain, loss_type, sources, steps, batch_size=4,
         print(f"  [{loss_type}] loaded cached params from {cache_path}")
         return system, state
     step_fn = system.make_train_step()
+    eval_fn = system.make_eval_step()
     rng = jax.random.PRNGKey(seed + 1)
     np_rng = np.random.default_rng(seed)
     # the axon relay never frees host mirrors of uploaded buffers
@@ -106,6 +113,12 @@ def train_style_system(chain, loss_type, sources, steps, batch_size=4,
     # and gather batches on device instead of uploading 4 MB per step.
     pool = jnp.asarray(np.stack([s[..., :T] for s in sources]))
     gather = jax.jit(lambda p, i: jnp.take(p, i, axis=0))
+    val_batch = None
+    if val_sources:
+        val_batch = {"input_audio": jnp.asarray(
+            np.stack([s[..., :T] for s in val_sources]))}
+    val_rng = jax.random.PRNGKey(10_000 + seed)  # FIXED: same val task
+    curve = []
     for i in range(steps):
         idx = np_rng.integers(0, len(pool), batch_size)
         batch = {"input_audio": gather(pool, jnp.asarray(idx))}
@@ -114,6 +127,18 @@ def train_style_system(chain, loss_type, sources, steps, batch_size=4,
         if i % 50 == 0:
             print(f"  [{loss_type}] step {i}: "
                   f"loss {float(metrics['loss']):.4f}", flush=True)
+        if val_batch is not None and (i % val_every == 0 or i == steps - 1):
+            _, (vm, aux) = eval_fn(state.params, val_batch, val_rng)
+            rec = {"step": i,
+                   "train_loss": float(metrics["loss"]),
+                   **{f"val_{k}": float(v) for k, v in vm.items()},
+                   "pred_std": float(jnp.std(aux["params_pred"]))}
+            curve.append(rec)
+            print(f"  [{loss_type}] step {i}: val {rec}", flush=True)
+    if log_path:
+        with open(log_path, "w") as f:
+            for rec in curve:
+                f.write(json.dumps(rec) + "\n")
     if cache_path:
         with open(cache_path, "wb") as f:
             pickle.dump(jax.device_get(state.params), f)
@@ -124,7 +149,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", type=str, default="examples/pst_demo_full")
     parser.add_argument("--encoder-steps", type=int, default=600)
-    parser.add_argument("--style-steps", type=int, default=300)
+    parser.add_argument("--style-steps", type=int, default=3000)
+    parser.add_argument("--style-batch", type=int, default=16)
+    parser.add_argument("--style-lr", type=float, default=3e-4)
     parser.add_argument("--es-iters", type=int, default=25)
     parser.add_argument("--popsize", type=int, default=128)
     parser.add_argument("--sources-per-mode", type=int, default=2)
@@ -159,15 +186,25 @@ def main():
 
     chain = benchmark_chain("general")
 
-    # 2. learned-inference baselines on the same chain
+    # 2. learned-inference baselines on the same chain (train on the SAME
+    # source family the benchmark draws from, hold the last two out for
+    # the validation curve)
+    style_train = sources[:20] + sources[22:]
+    style_val = sources[20:22]
     print("training deepafx-st (parameter-regression)...", flush=True)
     sys_reg = train_style_system(
-        chain, "parameter-regression", sources[20:], args.style_steps,
-        seed=1, cache_path=os.path.join(args.out, "style_reg.pkl"))
+        chain, "parameter-regression", style_train, args.style_steps,
+        batch_size=args.style_batch, lr=args.style_lr, seed=1,
+        val_sources=style_val,
+        log_path=os.path.join(args.out, "style_reg_curve.jsonl"),
+        cache_path=os.path.join(args.out, "style_reg.pkl"))
     print("training deepafx-st+ (audio loss)...", flush=True)
     sys_audio = train_style_system(
-        chain, "audio", sources[20:], args.style_steps,
-        seed=2, cache_path=os.path.join(args.out, "style_audio.pkl"))
+        chain, "audio", style_train, args.style_steps,
+        batch_size=args.style_batch, lr=args.style_lr, seed=2,
+        val_sources=style_val,
+        log_path=os.path.join(args.out, "style_audio_curve.jsonl"),
+        cache_path=os.path.join(args.out, "style_audio.pkl"))
 
     methods = default_methods(
         chain, model, get_param_embeds, popsize=args.popsize,

@@ -160,9 +160,50 @@ def random_distortion(key, x, p=0.5):
     return _maybe(ks[0], p, x, y)
 
 
+def random_sox_reverb(key, x, sample_rate=48000.0, p=0.5):
+    """Room-style reverb with the sox parameterization (reference:
+    effects.py:1379-1438 RandomSoxReverb): reverberance, HF damping, room
+    scale, stereo depth, pre-delay, wet-only render + manual wet/dry mix.
+    Rendered with the noise-shaped-IR engine: reverberance*room_scale ->
+    per-band T60, HF damping -> high-band gain rolloff, stereo depth ->
+    L/R IR decorrelation, pre-delay -> exact wet-path phase delay."""
+    ks = jax.random.split(key, 7)
+    reverberance = _uniform(ks[1], 10.0, 100.0) / 100.0
+    hf_damp = _uniform(ks[2], 0.0, 100.0) / 100.0
+    room_scale = _uniform(ks[3], 5.0, 100.0) / 100.0
+    stereo_depth = _uniform(ks[4], 20.0, 100.0) / 100.0
+    wet_dry = _uniform(ks[5], 0.0, 1.0)
+    pre_delay_ms = _uniform(ks[6], 0.0, 100.0)
+
+    num_bands = 8
+    # longer rooms + higher reverberance decay slower; HF bands are both
+    # quieter and faster-decaying under damping (physical room behavior)
+    frac = jnp.linspace(0.0, 1.0, num_bands)
+    decay = jnp.clip(reverberance * (0.3 + 0.7 * room_scale), 0.02, 1.0)
+    band_decays = decay * (1.0 - 0.6 * hf_damp * frac)
+    band_gains = 1.0 - hf_damp * frac
+
+    C, T = x.shape[-2], x.shape[-1]
+    ir_length = 32768
+    ir = _rev.noise_shaped_ir(band_gains, band_decays, sample_rate,
+                              ir_length, channels=C)
+    if C == 2:  # stereo depth: blend decorrelated IR toward its mono mean
+        mono = jnp.mean(ir, axis=0, keepdims=True)
+        ir = stereo_depth * ir + (1.0 - stereo_depth) * mono
+    n = 1 << int(T + ir_length - 1).bit_length()
+    X = jnp.fft.rfft(x, n=n, axis=-1)
+    H = jnp.fft.rfft(ir, n=n, axis=-1)
+    # exact fractional pre-delay applied in the spectrum (wet path only)
+    w = 2.0 * jnp.pi * jnp.fft.rfftfreq(n) * pre_delay_ms * 1e-3 * sample_rate
+    H = H * jax.lax.complex(jnp.cos(w), -jnp.sin(w))
+    wet = jnp.fft.irfft(X * H, n=n, axis=-1)[..., :T].astype(x.dtype)
+    y = (1.0 - wet_dry) * x + wet_dry * wet
+    return _maybe(ks[0], p, x, y)
+
+
 def random_reverb(key, x, sample_rate=48000.0, p=0.5):
-    """Freeverb with random params (reference: effects.py:1379-1483,
-    Sox/pedalboard reverb variants)."""
+    """Freeverb with random params (reference: effects.py:1439-1483,
+    RandomPedalboardReverb — the sox flavor is random_sox_reverb)."""
     ks = jax.random.split(key, 5)
     y = _rev.freeverb(
         x, sample_rate,
@@ -203,6 +244,7 @@ ALL_TRANSFORMS: dict[str, Callable] = {
     "limiter": random_limiter,
     "distortion": random_distortion,
     "reverb": random_reverb,
+    "sox_reverb": random_sox_reverb,
 }
 
 

@@ -170,6 +170,16 @@ def build_batched_render_fn(
             else:
                 merged.append(entry)
         plan = merged
+        # kernel-arity contract: eq_compressor_fused_pallas handles exactly
+        # EQ->compressor or EQ->compressor->distortion — keep the invariant
+        # explicit so adding another absorbable stage can't silently break it
+        for kind, idxs in plan:
+            if kind == "eqcomp":
+                kinds = [slices[i][0].effect for i in idxs]
+                assert kinds in (
+                    ["parametric_eq", "compressor"],
+                    ["parametric_eq", "compressor", "distortion"],
+                ), f"fused-head plan got unexpected stage kinds {kinds}"
 
     def stage_params(stage: StageSpec, W: jnp.ndarray, start: int):
         out = {}

@@ -348,6 +348,11 @@ def eq_compressor_fused_pallas(
         [x.reshape(lead, T).astype(jnp.float32)],
         vecs, T, lead, t_block, interpret,
         carry_shape=(2 * S + 2, _SUBLANE, _LANE),
+        # this kernel's buffers (in/out double-buffered blocks + gain
+        # scratch + ~35 vec refs) exceed the default 16 MB scoped-vmem
+        # limit at t_block 512 (measured 17.9 MB); v5e has 128 MB physical.
+        # Only this kernel needs the raise — the other _run_scan users fit.
+        vmem_limit_mb=64,
         gain_scratch=True,
     )
     return out.reshape(*lead_shape, T).astype(x.dtype)
@@ -495,7 +500,8 @@ def _pad_to(x, n, axis):
 
 
 def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
-              carry_shape=(2, _SUBLANE, _LANE), gain_scratch=False):
+              carry_shape=(2, _SUBLANE, _LANE), gain_scratch=False,
+              vmem_limit_mb=None):
     """seq_inputs: list of (lead, T) arrays; vec_inputs: list of (lead,)
     arrays broadcast per recurrence. Returns (lead, T)."""
     G = -(-lead // _TILE)
@@ -552,13 +558,9 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
             kernel(*views, _View(out_ref), carry)
 
     kwargs = {}
-    if not interpret:
-        # the eq+comp(+dist) fused kernel's buffers (in/out double-buffered
-        # blocks + gain scratch + ~35 vec refs) exceed the default 16 MB
-        # scoped-vmem limit at t_block 512 (measured 17.9 MB); v5e has
-        # 128 MB physical
+    if not interpret and vmem_limit_mb is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
     out = pl.pallas_call(
         kernel_wrap,
         grid=grid,

@@ -40,8 +40,20 @@ def test_apply_paired_consistency():
     x = _x()
     key = jax.random.PRNGKey(7)
     a, b = apply_paired(key, x, x, transforms=["parametric_eq", "compressor",
-                                               "reverb", "gain"])
+                                               "reverb", "sox_reverb", "gain"])
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sox_reverb_distinct_from_freeverb():
+    """The two reverb flavors are genuinely different transforms
+    (reference ships RandomSoxReverb AND RandomPedalboardReverb)."""
+    x = _x()
+    key = jax.random.PRNGKey(11)
+    y_sox = ALL_TRANSFORMS["sox_reverb"](key, x, p=1.0)
+    y_fv = ALL_TRANSFORMS["reverb"](key, x, p=1.0)
+    assert not np.allclose(np.asarray(y_sox), np.asarray(y_fv), atol=1e-3)
+    # pre-delay + wet tail must add energy beyond the dry signal's decay
+    assert bool(jnp.isfinite(y_sox).all())
 
 
 def test_apply_paired_jittable():
