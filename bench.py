@@ -47,10 +47,12 @@ def main():
     parser.add_argument("--length", type=int, default=0,
                         help="0 = auto (262144, or 32768 with --quick)")
     parser.add_argument("--fft-mode", type=str, default="auto",
-                        choices=["auto", "mx", "fused", "mega", "xla"],
+                        choices=["auto", "mx", "fused", "mega", "mega2",
+                                 "xla"],
                         help="fused-LTI FFT implementation (fused = the "
                         "two-stage Pallas VMEM kernel, mega = the "
-                        "glue-free Pallas FFT pair; A/B against mx)")
+                        "glue-free Pallas FFT pair, mega2 = forward FFT "
+                        "+ response fused into ONE kernel; A/B vs mx)")
     args = parser.parse_args()
 
     if args.quick:

@@ -29,12 +29,46 @@ sys.path.insert(0, os.path.dirname(_HERE))  # repo root (uninstalled runs)
 from train_demo import synth_sources  # noqa: E402
 
 
-def get_or_train_encoder(out_dir, sources, steps, num_examples=768):
-    """Train the pretext encoder (once) and return the trained ParamModel."""
-    import yaml
+def _load_shard_pool(shard_dir, max_examples=None):
+    """Every example of a pretext shard dir as one in-memory dict (the
+    whole demo dataset fits; augmentation happens ON DEVICE per step via
+    make_param_train_block(augment=True))."""
+    import glob
+
+    arrs = {"inputs": [], "outputs": [], "instance_index": [],
+            "preset_index": [], "tar_index": []}
+    for p in sorted(glob.glob(os.path.join(shard_dir, "shard_*.npz"))):
+        if p.endswith("_logits.npz"):
+            continue
+        d = np.load(p)
+        for k in arrs:
+            arrs[k].append(np.asarray(d[k]))
+    out = {k: np.concatenate(v).astype(
+        np.float32 if k in ("inputs", "outputs") else np.int32)
+        for k, v in arrs.items()}
+    if max_examples:
+        out = {k: v[:max_examples] for k, v in out.items()}
+    return out
+
+
+def get_or_train_encoder(out_dir, sources, steps, num_examples=768,
+                         batch_size=16, lr=3e-4, val_every=200):
+    """Train the pretext encoder (once) and return the trained ParamModel.
+    Trains in k-step lax.scan blocks over a device-resident pool (per-step
+    relay dispatch + uploads dominated the old cli/train loop and leak
+    host RSS — PERF_NOTES)."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
 
     from st_ito_tpu.data import generate_pretext_dataset, sample_preset_bank
-    from st_ito_tpu.models.registry import load_param_model
+    from st_ito_tpu.models.cnn14 import Cnn14Config
+    from st_ito_tpu.models.registry import export_encoder_npz, load_param_model
+    from st_ito_tpu.train import (
+        ParamEstimatorConfig, init_param_estimator, make_param_train_block,
+    )
+    from st_ito_tpu.train.param import param_estimator_loss
 
     enc_path = os.path.join(out_dir, "run", "encoder.npz")
     if not os.path.isfile(enc_path):
@@ -48,41 +82,64 @@ def get_or_train_encoder(out_dir, sources, steps, num_examples=768):
                                      num_examples=num_examples,
                                      length=131072,
                                      examples_per_shard=64, seed=0)
-        cfg = {
-            "task": "pretext", "name": "pst-demo", "seed": 0,
-            "max_steps": steps, "log_every": 50, "ckpt_every": 100000,
-            "val_every": 0,
-            "model": {
-                "encoder": {"embed_dim": 128, "base_channels": 32,
-                            "sample_rate": 48000},
-                "lr": 3e-4,
-                "num_instances": bank.num_instances,
-                "num_presets": bank.num_presets,
-            },
-            "data": {"shard_dir": train_dir, "length": 131072,
-                     "batch_size": 16},
-        }
-        cfg_path = os.path.join(out_dir, "cfg.yaml")
-        with open(cfg_path, "w") as f:
-            yaml.safe_dump(cfg, f)
-        from st_ito_tpu.cli.train import main as train_main
+        cfg = ParamEstimatorConfig(
+            encoder=Cnn14Config(embed_dim=128, base_channels=32,
+                                sample_rate=48000),
+            lr=lr, num_instances=bank.num_instances,
+            num_presets=bank.num_presets)
+        state = init_param_estimator(jax.random.PRNGKey(0), cfg)
+        pool_np = _load_shard_pool(train_dir)
+        n_val = max(batch_size, len(pool_np["inputs"]) // 16)
+        val_batch = {k: jnp.asarray(v[:n_val]) for k, v in pool_np.items()}
+        pool = {k: jnp.asarray(v[n_val:]) for k, v in pool_np.items()}
+        n_pool = len(pool_np["inputs"]) - n_val
+        print(f"pretext pool: {n_pool} train / {n_val} val examples")
 
-        train_main(["--config", cfg_path,
-                    "--run-dir", os.path.join(out_dir, "run")])
+        k = min(25, max(1, val_every))
+        block = make_param_train_block(cfg, k, augment=True)
+        eval_loss = jax.jit(
+            lambda p, b, r: param_estimator_loss(p, cfg, b, False, r))
+        np_rng = np.random.default_rng(0)
+        rng = jax.random.PRNGKey(1)
+        curve = []
+        i = 0
+        while i < steps:
+            idx = jnp.asarray(np_rng.integers(0, n_pool, (k, batch_size)),
+                              jnp.int32)
+            rng, sub = jax.random.split(rng)
+            state, losses = block(state, pool, idx, sub)
+            i += k
+            if i % val_every == 0 or i >= steps:
+                vloss, (vm, _, _) = eval_loss(state.params, val_batch,
+                                              jax.random.PRNGKey(2))
+                rec = {"step": i, "train_loss": float(losses[-1]),
+                       **{f"val_{m}": float(v) for m, v in vm.items()}}
+                curve.append(rec)
+                print(f"  [pretext] {rec}", flush=True)
+        os.makedirs(os.path.dirname(enc_path), exist_ok=True)
+        export_encoder_npz(jax.device_get(state.params["encoder"]), enc_path,
+                           cfg.encoder)
+        with open(os.path.join(out_dir, "run", "pretext_curve.jsonl"),
+                  "w") as f:
+            for rec in curve:
+                f.write(_json.dumps(rec) + "\n")
     return load_param_model(enc_path)
 
 
 def train_style_system(chain, loss_type, sources, steps, batch_size=16,
                        T=131072, seed=0, cache_path=None, lr=3e-4,
                        embed_dim=64, base_channels=16, val_every=100,
-                       val_sources=None, log_path=None):
+                       val_sources=None, log_path=None, encoder_init=None):
     """On-the-fly style system training on the benchmark chain, with a
     fixed-task validation curve (same held-out inputs + same on-the-fly
     parameter draws at every eval, so the curve is comparable across
     steps). The trained params are cached so a resumed demo run skips
     straight to the benchmark. The reference loads CONVERGED pretrained
-    systems (eval_pst.py:957-973); competence here requires thousands of
-    steps with the MultiStepLR schedule (total_steps)."""
+    systems built on pretrained feature extractors (eval_pst.py:957-973);
+    ``encoder_init`` mirrors that by warm-starting the system's encoder
+    from the pretext-trained Cnn14 (a from-scratch encoder measured
+    ~0.005 val-MSE progress in 400 steps — the head then learns from
+    features that already separate effect parameters)."""
     import pickle
 
     import jax
@@ -98,43 +155,48 @@ def train_style_system(chain, loss_type, sources, steps, batch_size=16,
     )
     system = StyleTransferSystem(cfg, chain=chain)
     state = system.init(jax.random.PRNGKey(seed))
+    if encoder_init is not None:
+        params = dict(state.params)
+        params["encoder"] = jax.tree_util.tree_map(jnp.asarray, encoder_init)
+        state = state.replace(params=params)
     if cache_path and os.path.isfile(cache_path):
         with open(cache_path, "rb") as f:
             loaded = jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
         state = state.replace(params=loaded)
         print(f"  [{loss_type}] loaded cached params from {cache_path}")
         return system, state
-    step_fn = system.make_train_step()
+    # k steps per dispatch: per-step host dispatch through the tunneled
+    # relay dominated a measured 400-step run (~2.1 s/step of which the
+    # device did ~0.15 s); the scan block amortizes it k-fold. The pool
+    # uploads ONCE (the relay never frees upload mirrors — PERF_NOTES).
+    k = max(1, min(val_every, 25))
+    block_fn = system.make_train_block(k)
     eval_fn = system.make_eval_step()
     rng = jax.random.PRNGKey(seed + 1)
     np_rng = np.random.default_rng(seed)
-    # the axon relay never frees host mirrors of uploaded buffers
-    # (PERF_NOTES.md "Relay host-memory leak"), so upload the pool ONCE
-    # and gather batches on device instead of uploading 4 MB per step.
     pool = jnp.asarray(np.stack([s[..., :T] for s in sources]))
-    gather = jax.jit(lambda p, i: jnp.take(p, i, axis=0))
     val_batch = None
     if val_sources:
         val_batch = {"input_audio": jnp.asarray(
             np.stack([s[..., :T] for s in val_sources]))}
     val_rng = jax.random.PRNGKey(10_000 + seed)  # FIXED: same val task
     curve = []
-    for i in range(steps):
-        idx = np_rng.integers(0, len(pool), batch_size)
-        batch = {"input_audio": gather(pool, jnp.asarray(idx))}
+    i = 0
+    while i < steps:  # steps rounds up to a multiple of k (one program)
+        idx = jnp.asarray(
+            np_rng.integers(0, len(pool), (k, batch_size)), jnp.int32)
         rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
-        if i % 50 == 0:
-            print(f"  [{loss_type}] step {i}: "
-                  f"loss {float(metrics['loss']):.4f}", flush=True)
-        if val_batch is not None and (i % val_every == 0 or i == steps - 1):
+        state, losses = block_fn(state, pool, idx, sub)
+        i += k
+        last_loss = float(losses[-1])
+        if val_batch is not None and (i % val_every == 0 or i >= steps):
             _, (vm, aux) = eval_fn(state.params, val_batch, val_rng)
             rec = {"step": i,
-                   "train_loss": float(metrics["loss"]),
-                   **{f"val_{k}": float(v) for k, v in vm.items()},
+                   "train_loss": last_loss,
+                   **{f"val_{m}": float(v) for m, v in vm.items()},
                    "pred_std": float(jnp.std(aux["params_pred"]))}
             curve.append(rec)
-            print(f"  [{loss_type}] step {i}: val {rec}", flush=True)
+            print(f"  [{loss_type}] step {i}: {rec}", flush=True)
     if log_path:
         with open(log_path, "w") as f:
             for rec in curve:
@@ -191,20 +253,21 @@ def main():
     # the validation curve)
     style_train = sources[:20] + sources[22:]
     style_val = sources[20:22]
+    enc_cfg = model.config
+    common = dict(batch_size=args.style_batch, lr=args.style_lr,
+                  val_sources=style_val, encoder_init=model.params,
+                  embed_dim=enc_cfg.embed_dim,
+                  base_channels=enc_cfg.base_channels)
     print("training deepafx-st (parameter-regression)...", flush=True)
     sys_reg = train_style_system(
         chain, "parameter-regression", style_train, args.style_steps,
-        batch_size=args.style_batch, lr=args.style_lr, seed=1,
-        val_sources=style_val,
-        log_path=os.path.join(args.out, "style_reg_curve.jsonl"),
-        cache_path=os.path.join(args.out, "style_reg.pkl"))
+        seed=1, log_path=os.path.join(args.out, "style_reg_curve.jsonl"),
+        cache_path=os.path.join(args.out, "style_reg.pkl"), **common)
     print("training deepafx-st+ (audio loss)...", flush=True)
     sys_audio = train_style_system(
         chain, "audio", style_train, args.style_steps,
-        batch_size=args.style_batch, lr=args.style_lr, seed=2,
-        val_sources=style_val,
-        log_path=os.path.join(args.out, "style_audio_curve.jsonl"),
-        cache_path=os.path.join(args.out, "style_audio.pkl"))
+        seed=2, log_path=os.path.join(args.out, "style_audio_curve.jsonl"),
+        cache_path=os.path.join(args.out, "style_audio.pkl"), **common)
 
     methods = default_methods(
         chain, model, get_param_embeds, popsize=args.popsize,

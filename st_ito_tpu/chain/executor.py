@@ -192,16 +192,26 @@ def build_batched_render_fn(
 
     def render(W: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         B = W.shape[0]
-        if x.ndim == 2:
+        # a population-shared (C, T) input stays 2-D until the first stage
+        # consumes it: the fused eqcomp head streams it WITHOUT ever
+        # materializing the (B, C, T) broadcast (~2-3 GB of HBM traffic
+        # per generation saved at pop 512 / T 262144)
+        shared = x.ndim == 2
+        if not shared:
+            pass
+        elif not (plan and plan[0][0] == "eqcomp"):
             x = jnp.broadcast_to(x[None], (B,) + x.shape)
+            shared = False
         T = x.shape[-1]
 
         for kind, idxs in plan:
             stages = [slices[i] for i in idxs]
             # static channel promotion before the first stereo stage
-            if any(s.num_channels == 2 for s, _, _ in stages) and x.shape[1] == 1:
-                x = jnp.concatenate([x, x], axis=1)
-            C = x.shape[1]
+            ch_axis = 0 if shared else 1
+            if (any(s.num_channels == 2 for s, _, _ in stages)
+                    and x.shape[ch_axis] == 1):
+                x = jnp.concatenate([x, x], axis=ch_axis)
+            C = x.shape[ch_axis]
 
             if kind == "eqcomp":
                 (eq_stage, eq_start, _), (c_stage, c_start, _) = stages[:2]
@@ -220,7 +230,9 @@ def build_batched_render_fn(
 
                 x = eq_comp_fast_batched(x, p_eq, p_c, sample_rate,
                                          active_eq=a_eq, active_comp=a_c,
-                                         p_dist=p_d, active_dist=a_d)
+                                         p_dist=p_d, active_dist=a_d,
+                                         shared_B=B if shared else None)
+                shared = False
                 continue
 
             if kind in ("nl", "fast"):
@@ -254,7 +266,7 @@ def build_batched_render_fn(
             from st_ito_tpu.chain.rp_responses import RP_BUNDLES
 
             if (use_pallas
-                    and fft_mode in ("mx", "fused", "mx3", "mega")
+                    and fft_mode in ("mx", "fused", "mx3", "mega", "mega2")
                     and C == 2
                     and all(s.effect in RP_BUNDLES for s, _, _ in stages)):
                 from st_ito_tpu.ops.pallas.packed_response import (
@@ -268,7 +280,12 @@ def build_batched_render_fn(
                     rp_stages.append((stage.effect, params, active))
                 from st_ito_tpu.ops.pallas import mega_fft
 
-                if (fft_mode == "mega" and mega_fft.supported(n, T)
+                if (fft_mode == "mega2" and mega_fft.supported(n, T)
+                        and B % 8 == 0):
+                    x = mega_fft.packed_lti_apply_mega2(
+                        x, rp_stages, n, sample_rate,
+                        precision=fft_precision)
+                elif (fft_mode == "mega" and mega_fft.supported(n, T)
                         and B % 8 == 0):
                     x = mega_fft.packed_lti_apply_mega(
                         x, rp_stages, n, sample_rate,
@@ -276,7 +293,9 @@ def build_batched_render_fn(
                 else:
                     x = packed_lti_apply_rp(x, rp_stages, n, sample_rate,
                                             precision=fft_precision,
-                                            fft_impl=fft_mode)
+                                            fft_impl=("mx" if fft_mode in
+                                                      ("mega", "mega2")
+                                                      else fft_mode))
                 continue
 
             omega = jnp.linspace(0.0, math.pi, n // 2 + 1, dtype=jnp.float32)

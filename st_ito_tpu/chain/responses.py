@@ -97,7 +97,8 @@ def _eq_section_stack(p, sr):
 
 
 def eq_comp_fast_batched(x, p_eq, p_comp, sr, active_eq=None,
-                         active_comp=None, p_dist=None, active_dist=None):
+                         active_comp=None, p_dist=None, active_dist=None,
+                         shared_B: int | None = None):
     """Adjacent EQ -> compressor (-> distortion) stages as ONE Pallas pass
     (the basic chain's first stages, reference: scripts/run_optim.py:375-407).
     Semantically identical to eq_fast_batched followed by
@@ -106,7 +107,9 @@ def eq_comp_fast_batched(x, p_eq, p_comp, sr, active_eq=None,
     and full HBM round trips of the (pop, ch, T) intermediates
     (~2 GB/gen each at pop 512, T 262144).
     ``active_*``: optional (B,) float bypass masks blended in-kernel at
-    each stage boundary."""
+    each stage boundary.
+    ``shared_B``: x is the population-shared (C, T) input for shared_B
+    candidates; the (B, C, T) broadcast never reaches HBM."""
     from st_ito_tpu.ops.pallas.scan import eq_compressor_fused_pallas
     from st_ito_tpu.ops.dynamics import _time_constant_alpha
 
@@ -115,8 +118,11 @@ def eq_comp_fast_batched(x, p_eq, p_comp, sr, active_eq=None,
     def col(v):  # (B,) -> (B, 1) broadcast over channels
         return jnp.asarray(v, jnp.float32)[:, None]
 
+    shared_lead_shape = (None if shared_B is None
+                         else (shared_B, x.shape[0]))
     return eq_compressor_fused_pallas(
         x, b[:, None], a[:, None],
+        shared_lead_shape=shared_lead_shape,
         threshold_db=col(p_comp["threshold_db"]),
         ratio=col(p_comp["ratio"]),
         knee_db=0.5,

@@ -190,60 +190,135 @@ _DN_ROWS = (((0,), (0,)), ((), ()))   # contract sublanes of both
 _DN_LANES = (((1,), (1,)), ((), ()))  # contract lanes of both
 
 
+_N_FWD_TABS = 30  # table refs consumed by the forward FFT body
+
+
+def _fwd_compute(x_ref, tabs, dot):
+    """The forward packed-FFT body: x block (1, 2, in_rows, n2) + the 30
+    forward tables -> (zlr, zli, zvr, zvi), each (Rp, n1) in VMEM."""
+    (w1c_h, w1c_l, w1s_h, w1s_l, w1m_h, w1m_l,
+     v1c_h, v1c_l, v1s_h, v1s_l, v1m_h, v1m_l,
+     t1c, t1s, t1mc, t1ms,
+     lo_c_h, lo_c_l, lo_s_h, lo_s_l, lo_m_h, lo_m_l,
+     rv_c_h, rv_c_l, rv_s_h, rv_s_l, rv_m_h, rv_m_l,
+     c0c, c0s) = tabs
+    xr = x_ref[0, 0]          # (in_rows, n2): z = L + i R
+    xi = x_ref[0, 1]
+    xs = _splits(xr, xi)
+
+    # stage 1, natural and mirrored-k1 variants
+    w1 = (w1c_h[...], w1c_l[...], w1s_h[...], w1s_l[...],
+          w1m_h[...], w1m_l[...])
+    v1 = (v1c_h[...], v1c_l[...], v1s_h[...], v1s_l[...],
+          v1m_h[...], v1m_l[...])
+    mr, mi = _cdot(dot, _DN_ROWS, w1, *xs)       # (n1, n2), rows k1
+    ur, ui = _cdot(dot, _DN_ROWS, v1, *xs)       # rows (n1-k1)%n1
+
+    # stage-1 twiddle (full tables, f32 elementwise)
+    mr, mi = (mr * t1c[...] - mi * t1s[...],
+              mr * t1s[...] + mi * t1c[...])
+    ur, ui = (ur * t1mc[...] - ui * t1ms[...],
+              ur * t1ms[...] + ui * t1mc[...])
+
+    ms = _splits(mr, mi)
+    us = _splits(ur, ui)
+    lo = (lo_c_h[...], lo_c_l[...], lo_s_h[...], lo_s_l[...],
+          lo_m_h[...], lo_m_l[...])
+    rv = (rv_c_h[...], rv_c_l[...], rv_s_h[...], rv_s_l[...],
+          rv_m_h[...], rv_m_l[...])
+    # stage 2: Zlo[r, k1] over natural M; Zrev main over mirrored M
+    zlr, zli = _cdot(dot, _DN_LANES, lo, *ms)    # (Rp, n1)
+    zvr_m, zvi_m = _cdot(dot, _DN_LANES, rv, *us)
+
+    # k1 = 0 column of Zrev wraps rows: exact f32 multiply-reduce
+    # against M's k1 = 0 row (a dot here would have a 1-lane output,
+    # which Mosaic miscompiles)
+    m0r = mr[0:1, :]
+    m0i = mi[0:1, :]
+    cc = c0c[...]
+    cs = c0s[...]
+    zc0r = jnp.sum(cc * m0r - cs * m0i, axis=1, keepdims=True)
+    zc0i = jnp.sum(cc * m0i + cs * m0r, axis=1, keepdims=True)
+
+    zvr = jnp.concatenate([zc0r, zvr_m[:, 1:]], axis=1)
+    zvi = jnp.concatenate([zc0i, zvi_m[:, 1:]], axis=1)
+    return zlr, zli, zvr, zvi
+
+
 def _make_fwd_kernel(in_rows, n1, n2, Rp, dot):
-    def kernel(x_ref,
-               w1c_h, w1c_l, w1s_h, w1s_l, w1m_h, w1m_l,
-               v1c_h, v1c_l, v1s_h, v1s_l, v1m_h, v1m_l,
-               t1c, t1s, t1mc, t1ms,
-               lo_c_h, lo_c_l, lo_s_h, lo_s_l, lo_m_h, lo_m_l,
-               rv_c_h, rv_c_l, rv_s_h, rv_s_l, rv_m_h, rv_m_l,
-               c0c, c0s,
-               zlr_ref, zli_ref, zvr_ref, zvi_ref):
-        xr = x_ref[0, 0]          # (in_rows, n2): z = L + i R
-        xi = x_ref[0, 1]
-        xs = _splits(xr, xi)
-
-        # stage 1, natural and mirrored-k1 variants
-        w1 = (w1c_h[...], w1c_l[...], w1s_h[...], w1s_l[...],
-              w1m_h[...], w1m_l[...])
-        v1 = (v1c_h[...], v1c_l[...], v1s_h[...], v1s_l[...],
-              v1m_h[...], v1m_l[...])
-        mr, mi = _cdot(dot, _DN_ROWS, w1, *xs)       # (n1, n2), rows k1
-        ur, ui = _cdot(dot, _DN_ROWS, v1, *xs)       # rows (n1-k1)%n1
-
-        # stage-1 twiddle (full tables, f32 elementwise)
-        mr, mi = (mr * t1c[...] - mi * t1s[...],
-                  mr * t1s[...] + mi * t1c[...])
-        ur, ui = (ur * t1mc[...] - ui * t1ms[...],
-                  ur * t1ms[...] + ui * t1mc[...])
-
-        ms = _splits(mr, mi)
-        us = _splits(ur, ui)
-        lo = (lo_c_h[...], lo_c_l[...], lo_s_h[...], lo_s_l[...],
-              lo_m_h[...], lo_m_l[...])
-        rv = (rv_c_h[...], rv_c_l[...], rv_s_h[...], rv_s_l[...],
-              rv_m_h[...], rv_m_l[...])
-        # stage 2: Zlo[r, k1] over natural M; Zrev main over mirrored M
-        zlr, zli = _cdot(dot, _DN_LANES, lo, *ms)    # (Rp, n1)
-        zvr_m, zvi_m = _cdot(dot, _DN_LANES, rv, *us)
-
-        # k1 = 0 column of Zrev wraps rows: exact f32 multiply-reduce
-        # against M's k1 = 0 row (a dot here would have a 1-lane output,
-        # which Mosaic miscompiles)
-        m0r = mr[0:1, :]
-        m0i = mi[0:1, :]
-        cc = c0c[...]
-        cs = c0s[...]
-        zc0r = jnp.sum(cc * m0r - cs * m0i, axis=1, keepdims=True)
-        zc0i = jnp.sum(cc * m0i + cs * m0r, axis=1, keepdims=True)
-
-        zvr = jnp.concatenate([zc0r, zvr_m[:, 1:]], axis=1)
-        zvi = jnp.concatenate([zc0i, zvi_m[:, 1:]], axis=1)
-
+    def kernel(*refs):
+        x_ref = refs[0]
+        tabs = refs[1:1 + _N_FWD_TABS]
+        zlr_ref, zli_ref, zvr_ref, zvi_ref = refs[1 + _N_FWD_TABS:]
+        zlr, zli, zvr, zvi = _fwd_compute(x_ref, tabs, dot)
         zlr_ref[...] = zlr.reshape(1, Rp, n1)
         zli_ref[...] = zli.reshape(1, Rp, n1)
         zvr_ref[...] = zvr.reshape(1, Rp, n1)
         zvi_ref[...] = zvi.reshape(1, Rp, n1)
+
+    return kernel
+
+
+def _make_fwd_resp_kernel(in_rows, n1, n2, Rp, dot, stage_descrs,
+                          n_params, n_active, n_tables, ny):
+    """Forward packed FFT + the fused LTI response construction/apply in
+    ONE kernel: per candidate, compute (Zlo, Zrev) in VMEM, evaluate and
+    compose every stage's rp response from per-candidate scalars + full
+    (rows, Rp, n1) frequency tables, apply the packed hermitian formula,
+    patch the DC/Nyquist self-conjugate bins, and emit (Ylo, Yhig)
+    directly — the Z spectra never reach HBM (8 (B, Rp*n1) f32 round
+    trips deleted vs the fwd_pack_fft -> response-kernel split).
+    ``ny`` = (row, lane) of the Nyquist bin in the half grid."""
+    from st_ito_tpu.ops.pallas.packed_response import (
+        _apply_block, _compose_block)
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        pos = 1
+        tabs = refs[pos:pos + _N_FWD_TABS]
+        pos += _N_FWD_TABS
+        flat_params = refs[pos:pos + n_params]
+        pos += n_params
+        flat_active = refs[pos:pos + n_active]
+        pos += n_active
+        flat_tables = refs[pos:pos + n_tables]
+        pos += n_tables
+        ylo_r_ref, ylo_i_ref, yhi_r_ref, yhi_i_ref = refs[pos:pos + 4]
+
+        zlr, zli, zvr, zvi = _fwd_compute(x_ref, tabs, dot)
+
+        param_blocks, active_blocks, table_blocks = [], [], []
+        pi = ai = ti = 0
+        for effect, pnames, tnames, statics in stage_descrs:
+            param_blocks.append(
+                {name: flat_params[pi + j][...] for j, name in
+                 enumerate(pnames)})
+            pi += len(pnames)
+            if n_active:
+                active_blocks.append(flat_active[ai][...])
+                ai += 1
+            else:
+                active_blocks.append(None)
+            table_blocks.append(
+                {name: flat_tables[ti + j][...] for j, name in
+                 enumerate(tnames)})
+            ti += len(tnames)
+
+        kind, H = _compose_block(stage_descrs, param_blocks, active_blocks,
+                                 table_blocks)
+        ylo_r, ylo_i, yhi_r, yhi_i = _apply_block(
+            kind, H, zlr[None], zli[None], zvr[None], zvi[None])
+        row = jax.lax.broadcasted_iota(jnp.int32, ylo_r.shape, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, ylo_r.shape, 2)
+        ny_row, ny_lane = ny
+        sel = (((row == 0) & (lane == 0))
+               | ((row == ny_row) & (lane == ny_lane)))
+        ylo_r = jnp.where(sel, 0.5 * (ylo_r + yhi_r), ylo_r)
+        ylo_i = jnp.where(sel, 0.5 * (ylo_i + yhi_i), ylo_i)
+        ylo_r_ref[...] = ylo_r
+        ylo_i_ref[...] = ylo_i
+        yhi_r_ref[...] = yhi_r
+        yhi_i_ref[...] = yhi_i
 
     return kernel
 
@@ -353,6 +428,62 @@ def fwd_pack_fft(x: jnp.ndarray, n: int, precision: str = "high",
     return outs
 
 
+def fwd_pack_fft_response(x: jnp.ndarray, stages, n: int,
+                          sample_rate: float, precision: str = "high",
+                          interpret: bool = False):
+    """fwd_pack_fft with the LTI response fused into the kernel epilogue:
+    x (B, 2, T) float32 + rp stages -> (YloR, YloI, YhigR, YhigI), each
+    (B, Rp, n1), DC/Nyquist-corrected — ready for inv_unpack_fft. VMEM
+    budget: ~24 MB forward tables + ~43 MB response tables (freeverb's 38
+    rows at Fp = Rp*n1 dominate) + working set, under the 110 MB scoped
+    limit on v5e."""
+    from st_ito_tpu.ops.pallas.packed_response import _build_stage_inputs
+
+    B, C, T = x.shape
+    assert C == 2, "fwd_pack_fft_response is stereo-only"
+    if not supported(n, T):
+        raise ValueError(f"mega_fft: unsupported (n={n}, T={T})")
+    n1, n2 = _radix(n)
+    Rp, _ = half_grid(n)
+    Fp = Rp * n1
+    F = n // 2 + 1
+    in_rows = T // n2
+
+    dot = _DOTS.get(precision, _DOTS["high"])
+    tables = _fwd_tables(n, in_rows, Rp)
+    stage_descrs, P_, A_, T_ = _build_stage_inputs(stages, B, n,
+                                                   sample_rate, Fp)
+    P = [a.reshape(-1, 1, 1).astype(jnp.float32) for a in P_]
+    A = [a.reshape(-1, 1, 1).astype(jnp.float32) for a in A_]
+    T3 = [a.reshape(a.shape[0], Rp, n1) for a in T_]
+
+    ny = F - 1
+    kernel = _make_fwd_resp_kernel(in_rows, n1, n2, Rp, dot, stage_descrs,
+                                   len(P), len(A), len(T3),
+                                   (ny // n1, ny % n1))
+
+    x4 = x.reshape(B, 2, in_rows, n2)
+    t_specs = [pl.BlockSpec(t.shape, lambda b, _nd=t.ndim: (0,) * _nd,
+                            memory_space=pltpu.VMEM) for t in tables]
+    p_spec = pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    rt_specs = [pl.BlockSpec((a.shape[0], Rp, n1), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM) for a in T3]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=([pl.BlockSpec((1, 2, in_rows, n2), lambda b: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)]
+                  + t_specs + [p_spec] * (len(P) + len(A)) + rt_specs),
+        out_specs=[pl.BlockSpec((1, Rp, n1), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((B, Rp, n1), jnp.float32)] * 4,
+        interpret=interpret,
+        **_vmem_params(interpret),
+    )(x4, *tables, *P, *A, *T3)
+    return outs
+
+
 @partial(jax.jit, static_argnames=("n", "T", "precision", "interpret"))
 def inv_unpack_fft(YloR, YloI, YhigR, YhigI, n: int, T: int,
                    precision: str = "high", interpret: bool = False):
@@ -419,5 +550,29 @@ def packed_lti_apply_mega(
     YlR, YlI, YvR, YvI = packed_response_apply_rp_padded(
         ZlR, ZlI, ZvR, ZvI, stages, n, sample_rate, F, Fp,
         interpret=interpret)
+    return inv_unpack_fft(YlR, YlI, YvR, YvI, n, T, precision=inv_prec,
+                          interpret=interpret)
+
+
+def packed_lti_apply_mega2(
+    x: jnp.ndarray,
+    stages,  # [(effect, params_dict_of_(B,), active_(B,)_or_None), ...]
+    n: int,
+    sample_rate: float,
+    precision: str = "high",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Two-kernel fused-LTI group: (forward FFT + response) -> inverse FFT.
+    Same semantics as packed_lti_apply_mega with the middle kernel's eight
+    (B, Rp*n1) float32 HBM round trips deleted (PERF_NOTES "Remaining
+    headroom": the full mega fusion)."""
+    B, C, T = x.shape
+    assert C == 2, "mega path is stereo-only"
+    if precision == "mixed":
+        fwd_prec, inv_prec = "high", "default"
+    else:
+        fwd_prec = inv_prec = precision
+    YlR, YlI, YvR, YvI = fwd_pack_fft_response(
+        x, stages, n, sample_rate, precision=fwd_prec, interpret=interpret)
     return inv_unpack_fft(YlR, YlI, YvR, YvI, n, T, precision=inv_prec,
                           interpret=interpret)

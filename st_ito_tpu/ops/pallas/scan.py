@@ -294,6 +294,7 @@ def eq_compressor_fused_pallas(
     dist_active=None,
     t_block: int = 512,
     interpret: bool = False,
+    shared_lead_shape: tuple | None = None,
 ) -> jnp.ndarray:
     """Biquad-cascade EQ immediately followed by the unlinked feed-forward
     compressor (and, when ``drive_db`` is given, the tanh distortion with
@@ -303,8 +304,18 @@ def eq_compressor_fused_pallas(
     bypass masks (1.0 = effect on), each blended in-kernel at its stage
     boundary — identical semantics to running biquad_cascade_pallas,
     compressor_fused_pallas, then tanh(y*drive)*outg with the respective
-    masks."""
-    lead_shape = x.shape[:-1]
+    masks.
+
+    ``shared_lead_shape=(B, C)``: x is the population-shared (C, T)
+    input; the broadcast to (B, C, T) never materializes (the lane
+    pattern streams into the kernel instead — see _run_scan shared_seq).
+    Result is (B, C, T)."""
+    if shared_lead_shape is not None:
+        lead_shape = tuple(shared_lead_shape)
+        assert x.ndim == 2 and x.shape[0] == lead_shape[-1], (
+            x.shape, lead_shape)
+    else:
+        lead_shape = x.shape[:-1]
     T = x.shape[-1]
     lead = int(np.prod(lead_shape)) if lead_shape else 1
     S = b.shape[-2]
@@ -345,8 +356,10 @@ def eq_compressor_fused_pallas(
                              comp_active is not None,
                              with_dist=with_dist,
                              dist_active=dist_active is not None),
-        [x.reshape(lead, T).astype(jnp.float32)],
+        [x.astype(jnp.float32) if shared_lead_shape is not None
+         else x.reshape(lead, T).astype(jnp.float32)],
         vecs, T, lead, t_block, interpret,
+        shared_seq=shared_lead_shape is not None,
         carry_shape=(2 * S + 2, _SUBLANE, _LANE),
         # this kernel's buffers (in/out double-buffered blocks + gain
         # scratch + ~35 vec refs) exceed the default 16 MB scoped-vmem
@@ -501,9 +514,17 @@ def _pad_to(x, n, axis):
 
 def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
               carry_shape=(2, _SUBLANE, _LANE), gain_scratch=False,
-              vmem_limit_mb=None):
+              vmem_limit_mb=None, shared_seq=False):
     """seq_inputs: list of (lead, T) arrays; vec_inputs: list of (lead,)
-    arrays broadcast per recurrence. Returns (lead, T)."""
+    arrays broadcast per recurrence. Returns (lead, T).
+
+    ``shared_seq``: seq_inputs is ONE (C, T) array shared by every lead
+    slot with channel = lead % C (the layout of reshape((B, C)) leads).
+    Instead of materializing + relayouting the (lead, T) broadcast
+    (~2-3 GB of HBM traffic per generation on the ES hot path), a tiny
+    (T, 128) lane pattern is streamed and broadcast across sublanes
+    in-kernel. Requires 128 % C == 0 and a kernel that reads its input
+    item-wise (x_ref[t]) only."""
     G = -(-lead // _TILE)
     lead_pad = G * _TILE
     Tb = -(-T // t_block)
@@ -516,18 +537,30 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
         x = x.T.reshape(T_pad, G, _SUBLANE, _LANE)
         return x
 
-    seq = [to_blocks(x) for x in seq_inputs]
+    seq_spec = pl.BlockSpec(
+        (t_block, 1, _SUBLANE, _LANE),
+        lambda g, t: (t, g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if shared_seq:
+        (x2,) = seq_inputs
+        C = x2.shape[0]
+        assert _LANE % C == 0, f"shared_seq needs 128 % C == 0, C={C}"
+        # (T, 128) with row t = [x_0[t], .., x_{C-1}[t], x_0[t], ...] —
+        # exactly the per-lane input of the (T, G, 8, 128) layout
+        xl = jnp.tile(x2.T.astype(jnp.float32), (1, _LANE // C))
+        seq = [_pad_to(xl, T_pad, 0)]
+        seq_specs = [pl.BlockSpec((t_block, _LANE), lambda g, t: (t, 0),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        seq = [to_blocks(x) for x in seq_inputs]
+        seq_specs = [seq_spec] * len(seq)
     vec = [
         _pad_to(v, lead_pad, 0).reshape(1, G, _SUBLANE, _LANE)
         for v in vec_inputs
     ]
 
     grid = (G, Tb)
-    seq_spec = pl.BlockSpec(
-        (t_block, 1, _SUBLANE, _LANE),
-        lambda g, t: (t, g, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
     vec_spec = pl.BlockSpec(
         (1, 1, _SUBLANE, _LANE),
         lambda g, t: (0, g, 0, 0),
@@ -551,7 +584,20 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
             def __setitem__(self, t, v):
                 self._ref[t, 0] = v
 
-        views = [_View(r) for r in ins]
+        class _SharedView:
+            """(t_block, 128) lane pattern -> per-t (8, 128) sublane splat."""
+            def __init__(self, ref):
+                self._ref = ref
+                self.shape = (ref.shape[0], _SUBLANE, _LANE)
+
+            def __getitem__(self, t):
+                return jnp.broadcast_to(self._ref[t][None, :],
+                                        (_SUBLANE, _LANE))
+
+        if shared_seq:
+            views = [_SharedView(ins[0])] + [_View(r) for r in ins[1:]]
+        else:
+            views = [_View(r) for r in ins]
         if gain_scratch:
             kernel(*views, _View(out_ref), carry, gbuf)
         else:
@@ -564,7 +610,7 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
     out = pl.pallas_call(
         kernel_wrap,
         grid=grid,
-        in_specs=[seq_spec] * len(seq) + [vec_spec] * len(vec),
+        in_specs=seq_specs + [vec_spec] * len(vec),
         out_specs=seq_spec,
         out_shape=jax.ShapeDtypeStruct((T_pad, G, _SUBLANE, _LANE), jnp.float32),
         scratch_shapes=(

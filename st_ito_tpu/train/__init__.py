@@ -8,6 +8,7 @@ from st_ito_tpu.train.param import (
     ParamEstimatorConfig,
     ParamTrainState,
     init_param_estimator,
+    make_param_train_block,
     make_param_train_step,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "ParamEstimatorConfig",
     "ParamTrainState",
     "init_param_estimator",
+    "make_param_train_block",
     "make_param_train_step",
 ]

@@ -347,3 +347,48 @@ def make_param_train_step(cfg: ParamEstimatorConfig, mesh: Mesh | None = None):
         return jax.jit(step)(state, batch, rng)
 
     return place
+
+
+def make_param_train_block(cfg: ParamEstimatorConfig, k: int,
+                           augment: bool = False):
+    """k pretext training steps as ONE jitted lax.scan dispatch over a
+    device-resident example pool. Same motivation as
+    StyleTransferSystem.make_train_block: per-step dispatch through the
+    tunneled TPU relay dominates wall-clock, and per-step batch uploads
+    leak host RSS without bound (PERF_NOTES "Relay host-memory leak").
+
+    block(state, pool, idx, rng) -> (state, losses (k,)); pool is the
+    full example dict ({"inputs" (N, C, T), "outputs", "instance_index",
+    "preset_index", "tar_index", ...}) resident on device, idx (k, bs)
+    int32 gather indices.
+
+    ``augment=True`` reproduces NpzShardDataset's per-epoch augmentation
+    ON DEVICE (the pool stays un-augmented): independent 0..-32 dB gains
+    for inputs/outputs, joint LR flip per example
+    (reference: dataset_param.py:218-232)."""
+    step = partial(_train_step, cfg=cfg)
+
+    def block_impl(state, pool, idx, rng):
+        def one(state, xs):
+            ind, r = xs
+            batch = {name: jnp.take(arr, ind, axis=0)
+                     for name, arr in pool.items()}
+            if augment:
+                ra, rb, rc, r = jax.random.split(r, 4)
+                bs = batch["inputs"].shape[0]
+                gi = 10.0 ** (-jax.random.uniform(ra, (bs,)) * 32.0 / 20.0)
+                go = 10.0 ** (-jax.random.uniform(rb, (bs,)) * 32.0 / 20.0)
+                flip = jax.random.uniform(rc, (bs,)) < 0.5
+
+                def fl(x):
+                    return jnp.where(flip[:, None, None], x[:, ::-1, :], x)
+
+                batch["inputs"] = fl(batch["inputs"] * gi[:, None, None])
+                batch["outputs"] = fl(batch["outputs"] * go[:, None, None])
+            state, metrics = step(state, batch, r)
+            return state, metrics["loss"]
+
+        rngs = jax.random.split(rng, k)
+        return jax.lax.scan(one, state, (idx, rngs))
+
+    return jax.jit(block_impl)

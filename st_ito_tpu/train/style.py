@@ -327,3 +327,40 @@ class StyleTransferSystem:
 
     def make_eval_step(self) -> Callable:
         return jax.jit(partial(self.loss_fn, training=False))
+
+    def make_train_block(self, k: int) -> Callable:
+        """k training steps as ONE jitted lax.scan dispatch over a
+        device-resident source pool — the style-training counterpart of
+        run_es's gens_per_dispatch blocks. Per-step host dispatch through
+        the tunneled TPU relay costs 0.1-0.8 s on bad days (PERF_NOTES
+        "Relay latency variability"); a measured 400-step run spent ~95%
+        of its wall-clock there. block(state, pool, idx, rng):
+        pool (N, C, T) resident on device, idx (k, bs) int32 per-step
+        gather indices, rng a single key split per step. Returns
+        (state, losses (k,))."""
+        opt = self.optimizer
+
+        def block_impl(state, pool, idx, rng):
+            def one(state, xs):
+                ind, r = xs
+                batch = {"input_audio": jnp.take(pool, ind, axis=0)}
+                (loss, (metrics, aux)), grads = jax.value_and_grad(
+                    self.loss_fn, has_aux=True)(state.params, batch, r, True)
+                updates, opt_state = opt.update(grads, state.opt_state,
+                                                state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                bn_stats = aux.get("bn_stats") or {}
+                if bn_stats:
+                    from st_ito_tpu.models.bn_stats import merge_bn_stats
+
+                    new_params["encoder"] = merge_bn_stats(
+                        new_params["encoder"], bn_stats)
+                return StyleTrainState(params=new_params,
+                                       opt_state=opt_state,
+                                       step=state.step + 1), metrics["loss"]
+
+            rngs = jax.random.split(rng, k)
+            state, losses = jax.lax.scan(one, state, (idx, rngs))
+            return state, losses
+
+        return jax.jit(block_impl)

@@ -184,6 +184,27 @@ def test_eq_compressor_fused_kernel_matches_unfused():
         t_block=256, interpret=True)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y_c), atol=1e-5)
 
+    # the population-shared (C, T) input path (no materialized broadcast)
+    # is numerically identical to feeding the explicit (B, C, T) broadcast
+    xs = x[0]  # (C, T) shared across the B candidates
+    y_shared = ps.eq_compressor_fused_pallas(
+        xs, b[:, None], a[:, None], threshold_db=col(th), ratio=col(ratio),
+        knee_db=0.5, alpha_attack=col(aa), alpha_release=col(ar),
+        makeup_gain_db=0.0, eq_active=col(eq_act), comp_active=col(c_act),
+        drive_db=col(drive_db), dist_gain_db=col(outg_db),
+        dist_active=col(d_act), t_block=256, interpret=True,
+        shared_lead_shape=(B, C))
+    y_bcast = ps.eq_compressor_fused_pallas(
+        jnp.broadcast_to(xs[None], (B, C, xs.shape[-1])),
+        b[:, None], a[:, None], threshold_db=col(th), ratio=col(ratio),
+        knee_db=0.5, alpha_attack=col(aa), alpha_release=col(ar),
+        makeup_gain_db=0.0, eq_active=col(eq_act), comp_active=col(c_act),
+        drive_db=col(drive_db), dist_gain_db=col(outg_db),
+        dist_active=col(d_act), t_block=256, interpret=True)
+    assert y_shared.shape == (B, C, xs.shape[-1])
+    np.testing.assert_allclose(np.asarray(y_shared), np.asarray(y_bcast),
+                               atol=1e-6)
+
 
 def test_executor_eqcomp_merge_matches_unfused(monkeypatch):
     """The executor's ("eqcomp", ...) plan merge (TPU fast path) must render

@@ -136,3 +136,30 @@ def test_packed_lti_mega_with_bypass_masks():
     y_mega = packed_lti_apply_mega(x, stages, N, 48000, interpret=True)
     np.testing.assert_allclose(np.asarray(y_mega), np.asarray(y_mx),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_packed_lti_mega2_matches_mega():
+    """The fused (forward FFT + response) kernel path (fft_mode="mega2")
+    must equal the 3-kernel mega pipeline, with and without bypass
+    masks (the Z spectra never reaching HBM must not change any value)."""
+    from st_ito_tpu.ops.pallas.mega_fft import packed_lti_apply_mega2
+
+    B = 8
+    x = jnp.asarray(_stereo(B, T))
+    stages = _demo_stages(B)
+    y_mega = packed_lti_apply_mega(x, stages, N, 48000, interpret=True)
+    y_mega2 = packed_lti_apply_mega2(x, stages, N, 48000, interpret=True)
+    assert y_mega2.shape == (B, 2, T)
+    # the fused kernel reassociates the response compose/apply float ops
+    # (full-Rp blocks vs the 3-D kernel's 8-row blocks): measured max
+    # |delta| ~8e-6 on order-0.5 signals — same tolerance class as the
+    # mega-vs-mx assertion above
+    np.testing.assert_allclose(np.asarray(y_mega2), np.asarray(y_mega),
+                               atol=2e-5, rtol=1e-4)
+
+    active = jnp.asarray(RNG.integers(0, 2, B).astype(np.float32))
+    stages_a = [(e, p, active) for e, p, _ in _demo_stages(B)]
+    y_mega = packed_lti_apply_mega(x, stages_a, N, 48000, interpret=True)
+    y_mega2 = packed_lti_apply_mega2(x, stages_a, N, 48000, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_mega2), np.asarray(y_mega),
+                               atol=2e-5, rtol=1e-4)

@@ -132,3 +132,47 @@ def test_style_bn_running_stats_updated():
     state, _ = step(state, _batch(system), jax.random.PRNGKey(0))
     rm1 = np.asarray(state.params["encoder"]["conv_block1"]["bn1"]["running_mean"])
     assert not np.allclose(rm0, rm1)
+
+
+def test_style_train_block_matches_stepwise():
+    """make_train_block(k) (one lax.scan dispatch over a device pool) must
+    produce the same state as k make_train_step calls fed the same batches
+    and per-step rngs."""
+    # the scanned train block is the largest XLA CPU program in the suite;
+    # compiling it after ~200 accumulated executables segfaulted the LLVM
+    # JIT (full-suite-only, passes in any isolation) — drop the dead
+    # executables first
+    jax.clear_caches()
+    cfg = _cfg(loss_type="parameter-regression", on_the_fly=True,
+               split_section=True)
+    system = StyleTransferSystem(cfg, chain=_chain())
+    state0 = system.init(jax.random.PRNGKey(0))
+
+    k, bs = 3, 2
+    pool = jnp.asarray(
+        RNG.standard_normal((5, 2, 2 * T)).astype(np.float32) * 0.3)
+    idx = jnp.asarray(RNG.integers(0, 5, (k, bs)), jnp.int32)
+    rng = jax.random.PRNGKey(7)
+
+    block = system.make_train_block(k)
+    state_blk, losses = block(state0, pool, idx, rng)
+    assert losses.shape == (k,) and bool(jnp.isfinite(losses).all())
+
+    step = system.make_train_step()
+    state_ref = state0
+    rngs = jax.random.split(rng, k)
+    ref_losses = []
+    for i in range(k):
+        batch = {"input_audio": jnp.take(pool, idx[i], axis=0)}
+        state_ref, metrics = step(state_ref, batch, rngs[i])
+        ref_losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_losses),
+                               rtol=1e-5, atol=1e-6)
+    a = jax.tree_util.tree_leaves(state_blk.params)
+    b = jax.tree_util.tree_leaves(state_ref.params)
+    for x, y in zip(a, b):
+        # scan-fused vs stepwise XLA programs reassociate float ops;
+        # per-leaf drift after 3 adamw updates is ~1e-5 absolute
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-2, atol=5e-5)
+    assert int(state_blk.step) == k

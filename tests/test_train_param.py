@@ -106,3 +106,36 @@ def test_bn_running_stats_updated():
     assert not np.allclose(rm0, rm1)
     rv1 = np.asarray(state.params["encoder"]["conv_block1"]["bn1"]["running_var"])
     assert np.isfinite(rv1).all() and (rv1 > 0).all()
+
+
+def test_param_train_block_matches_stepwise():
+    """make_param_train_block(k) (one lax.scan dispatch over a device
+    pool) must track k make_param_train_step calls fed the same batches
+    and per-step rngs (scan-fused float reassociation tolerance)."""
+    from st_ito_tpu.train.param import make_param_train_block
+
+    cfg = _small_cfg()
+    state0 = init_param_estimator(jax.random.PRNGKey(0), cfg)
+    pool = _toy_batch(bs=6)
+    k, bs = 3, 4
+    idx = jnp.asarray(RNG.integers(0, 6, (k, bs)), jnp.int32)
+    rng = jax.random.PRNGKey(5)
+
+    block = make_param_train_block(cfg, k)
+    state_blk, losses = block(state0, pool, idx, rng)
+    assert losses.shape == (k,) and bool(jnp.isfinite(losses).all())
+
+    step = make_param_train_step(cfg)
+    state_ref = state0
+    rngs = jax.random.split(rng, k)
+    ref_losses = []
+    for i in range(k):
+        batch = {n: jnp.take(a, idx[i], axis=0) for n, a in pool.items()}
+        state_ref, metrics = step(state_ref, batch, rngs[i])
+        ref_losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_losses),
+                               rtol=1e-5, atol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(state_blk.params),
+                    jax.tree_util.tree_leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-2, atol=5e-5)
