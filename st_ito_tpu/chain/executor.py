@@ -126,12 +126,14 @@ def build_batched_render_fn(
     # "fused" (legacy alias "mx3") = the fused two-stage Pallas kernel
     # (ops/pallas/fused_fft.py), "mega" = the glue-free Pallas FFT pair
     # emitting/consuming the response kernel's half-grid arrays directly
-    # (ops/pallas/mega_fft.py); each falls back to the four-step where
-    # shapes don't qualify. "xla" = jnp.fft. "auto" picks mega on the TPU
-    # inference path (A/B measured: 1237 vs 1171 evals/s on the headline
+    # (ops/pallas/mega_fft.py), "mega2" = mega with the LTI response
+    # construction+apply fused into the forward kernel's epilogue; each
+    # falls back to the four-step where shapes don't qualify. "xla" =
+    # jnp.fft. "auto" picks mega2 on the TPU inference path (A/B measured
+    # same session: mega2 1509.1 vs mega 1457.5 evals/s on the headline
     # bench, PERF_NOTES.md) with the four-step as its shape fallback.
     if fft_mode == "auto":
-        fft_mode = ("mega" if (fast and jax.default_backend() == "tpu")
+        fft_mode = ("mega2" if (fast and jax.default_backend() == "tpu")
                     else "xla")
 
     # static plan: group consecutive response-capable stages
@@ -313,7 +315,7 @@ def build_batched_render_fn(
                     Hs = bypass_blend(k, Hs, active)
                 kind_H, H = compose_responses(kind_H, H, k, Hs, F)
 
-            if (fft_mode in ("mx", "fused", "mx3", "mega")
+            if (fft_mode in ("mx", "fused", "mx3", "mega", "mega2")
                     and kind_H in ("scalar", "monomix")):
                 from st_ito_tpu.ops.mxfft import packed_lti_apply
 
