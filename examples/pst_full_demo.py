@@ -52,7 +52,8 @@ def _load_shard_pool(shard_dir, max_examples=None):
 
 
 def get_or_train_encoder(out_dir, sources, steps, num_examples=768,
-                         batch_size=16, lr=3e-4, val_every=200):
+                         batch_size=16, lr=3e-4, val_every=200,
+                         num_presets=6):
     """Train the pretext encoder (once) and return the trained ParamModel.
     Trains in k-step lax.scan blocks over a device-resident pool (per-step
     relay dispatch + uploads dominated the old cli/train loop and leak
@@ -75,7 +76,7 @@ def get_or_train_encoder(out_dir, sources, steps, num_examples=768,
         bank = sample_preset_bank(
             ["parametric_eq", "compressor", "distortion", "delay", "reverb",
              "chorus", "limiter", "multiband_compressor"],
-            num_presets=6, seed=0)
+            num_presets=num_presets, seed=0)
         train_dir = os.path.join(out_dir, "data_train")
         if not os.path.isdir(train_dir):
             generate_pretext_dataset(sources[:20], bank, train_dir,
@@ -211,6 +212,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", type=str, default="examples/pst_demo_full")
     parser.add_argument("--encoder-steps", type=int, default=600)
+    parser.add_argument("--num-presets", type=int, default=6)
     parser.add_argument("--style-steps", type=int, default=3000)
     parser.add_argument("--style-batch", type=int, default=16)
     parser.add_argument("--style-lr", type=float, default=3e-4)
@@ -232,7 +234,8 @@ def main():
 
     # 1. trained benchmark metric
     model = get_or_train_encoder(args.out, sources, args.encoder_steps,
-                                 args.data_examples)
+                                 args.data_examples,
+                                 num_presets=args.num_presets)
     print("trained encoder ready")
 
     from st_ito_tpu.eval.pst import default_methods, run_pst_benchmark

@@ -55,27 +55,39 @@ def _radix(n: int) -> int:
     return 1 << ((k + 1) // 2)
 
 
+def _phase(rows: int, cols: int, denom: int, sign: float):
+    """sign*2*pi*((r*c) mod denom)/denom as a traced (rows, cols) f32
+    angle grid. Built ON DEVICE (iota products) rather than as numpy
+    constants: at the long-audio sizes (n = 2^22+) the table constants
+    were >100 MB of HLO, which the remote-relay compile service cannot
+    embed (the device->host fetch of a trace-time jax.Array constant is
+    UNIMPLEMENTED on the axon backend). The (r*c) mod denom reduction is
+    exact in int32 for every denom <= 2^31, and the reduced product is a
+    small-enough integer that the f32 angle is ~1e-7 rad accurate — the
+    f64-free equivalent of the old numpy path (same trick as
+    pallas/mega_fft._phase_cs). XLA hoists the tables as loop-invariant,
+    so per-dispatch cost is a few ms of VPU transcendentals."""
+    r = jnp.arange(rows, dtype=jnp.int32)[:, None]
+    c = jnp.arange(cols, dtype=jnp.int32)[None, :]
+    prod = (r * c) % denom
+    return (sign * 2.0 * math.pi / denom) * prod.astype(jnp.float32)
+
+
 def _dft_mats(m: int, sign: float):
     """Forward (sign=-1) / inverse (sign=+1) DFT matrix W[j, k] as
-    (cos, sin, cos+sin) float32 constants (the sum matrix serves the
-    3-multiply Karatsuba complex product)."""
-    j = np.arange(m, dtype=np.float64)[:, None]
-    k = np.arange(m, dtype=np.float64)[None, :]
-    ang = sign * 2.0 * np.pi * j * k / m
-    c = np.cos(ang)
-    s = np.sin(ang)
-    return (jnp.asarray(c, jnp.float32), jnp.asarray(s, jnp.float32),
-            jnp.asarray(c + s, jnp.float32))
+    (cos, sin, cos+sin) float32 (the sum matrix serves the 3-multiply
+    Karatsuba complex product). Traced, not constant — see _phase."""
+    ang = _phase(m, m, m, sign)
+    c = jnp.cos(ang)
+    s = jnp.sin(ang)
+    return c, s, c + s
 
 
 def _twiddle(n1: int, n2: int, sign: float):
     """W_n^(k1*j2) as (n2, n1) float32 cos/sin (laid out [j2, k1] to match
-    the step-1 output layout)."""
-    k1 = np.arange(n1, dtype=np.float64)[None, :]
-    j2 = np.arange(n2, dtype=np.float64)[:, None]
-    ang = sign * 2.0 * np.pi * k1 * j2 / (n1 * n2)
-    return jnp.asarray(np.cos(ang), jnp.float32), jnp.asarray(
-        np.sin(ang), jnp.float32)
+    the step-1 output layout). Traced, not constant — see _phase."""
+    ang = _phase(n2, n1, n1 * n2, sign)
+    return jnp.cos(ang), jnp.sin(ang)
 
 
 def _cmatmul(ar, ai, mats, precision):
