@@ -63,11 +63,15 @@ def main():
 
     chain = basic_chain()
     model = load_param_model(allow_random=True)
-    render = build_render_fn(chain, sr, 2)
+    # jit the whole target prep: build_render_fn returns an UNJITTED pure
+    # function and eager op-by-op dispatch is unimplemented on the relay
+    # TPU backend (errors surface asynchronously at the next fetch)
+    render = jax.jit(
+        lambda w, xx: build_render_fn(chain, sr, 2)(w, xx[0])[None])
     rng = np.random.default_rng(0)
     w_target = jnp.asarray(
         rng.uniform(0.25, 0.75, chain.num_params).astype(np.float32))
-    y_target = render(w_target, x[0])[None]
+    y_target = render(w_target, x)
 
     counter = _CompileCounter()
     jax.config.update("jax_log_compiles", True)

@@ -91,6 +91,7 @@ def build_batched_render_fn(
     fuse_lti: bool = True,
     fft_mode: str = "auto",
     fft_precision: str = "high",
+    max_lti_pad: int | None = None,
 ):
     """The population renderer: render(W (B, P), x) -> (B, C_out, T), with
     x either (C, T) shared across candidates or (B, C, T) per-candidate.
@@ -258,9 +259,18 @@ def build_batched_render_fn(
                 continue
 
             # ---- fused LTI group ----
+            # pad guards the group's impulse-response tail against circular
+            # wraparound; stage.pad < 0 requests a full-T guard. For long
+            # inputs ``max_lti_pad`` caps it (run_es chunked mode passes
+            # ~10 s: the worst-case freeverb RT60 — tail energy past the
+            # cap wraps at <= -60 dB, far below fitness noise, while the
+            # FFT grid next_pow2(T + pad) stays at half the size a full-T
+            # guard would force on a 60 s input).
             pad = 0
             for stage, _, _ in stages:
                 pad = max(pad, T if stage.pad < 0 else stage.pad)
+            if max_lti_pad is not None:
+                pad = min(pad, max_lti_pad)
             n = next_pow2(T + pad)
 
             # fully fused Pallas path: response construction + packed

@@ -102,6 +102,10 @@ def main(argv=None):
     parser.add_argument("--gens-per-dispatch", type=int, default=1,
                         help=">1 runs the CMA-ES on device, this many "
                              "generations per dispatch")
+    parser.add_argument("--pop-microbatch", type=int, default=None,
+                        help="evaluate the population in sub-batches of "
+                             "this size (caps HBM temps for long-audio "
+                             "renders; auto-sized in --chunked mode)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output-dir", type=str, default="output/optim")
     parser.add_argument("--allow-random-model", action="store_true",
@@ -235,6 +239,7 @@ def main(argv=None):
             normalize_stages=args.normalize_stages, run_dir=run_dir,
             seed=args.seed, mesh=mesh, chunked=args.chunked,
             gens_per_dispatch=args.gens_per_dispatch,
+            pop_microbatch=args.pop_microbatch,
         )
 
     # ---- save results ----

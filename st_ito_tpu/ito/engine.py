@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import time
 import warnings
+from functools import partial
 from typing import Callable
 
 import numpy as np
@@ -115,6 +116,9 @@ def make_fitness_fn(
     compute_dtype: str | None = None,
     fft_precision: str = "high",
     fft_mode: str = "auto",
+    pop_microbatch: int | None = None,
+    renderer_fast: bool = True,
+    max_lti_pad: int | None = None,
 ):
     """Build fitness(W (pop,P), x (C,T), target_embeds, rng) -> fvals (pop,)
     (or (fvals, embeds, audio) when return_audio). Jitted; one XLA program.
@@ -127,15 +131,31 @@ def make_fitness_fn(
     bfloat16 on TPU (f32 accumulation; argsort agreement with f32 is
     tested), f32 elsewhere. Pass "float32" to force the exact path.
 
+    ``pop_microbatch``: evaluate the population in sub-batches of this size
+    via lax.map (sequential; compute per candidate is unchanged). Caps the
+    live render/FFT working set — a full-length 60 s chunked render at
+    popsize 128 needs ~24 GB of HBM temps at once, ~6 GB at microbatch 32.
+    Applied when it divides the population; ignored with return_audio,
+    a mesh (the pop axis is already split across devices), or dropout > 0
+    (the embed-dropout mask would repeat across sub-batches).
+
+    ``renderer_fast=False`` swaps the Pallas time-domain kernels for the
+    associative-scan forms (serial == parallel, tested): the Pallas scan
+    layout pads the population axis to 1024 lanes, which blows HBM on
+    very long signals with small sub-batches (pallas_scan_profitable).
+
     Programs are cached per (chain, model, config) so repeated run_es calls
     in one process (e.g. the PST benchmark looping over examples) reuse the
     compiled executable instead of re-jitting per call.
     """
     compute_dtype = _resolve_fitness_dtype(compute_dtype)
+    if return_audio or mesh is not None or dropout > 0.0:
+        pop_microbatch = None
     cache_key = (id(chain), id(model), id(content_model), sample_rate,
                  num_channels, embed_func, content_embed_func, dropout,
                  normalize_stages, id(mesh), return_audio, compute_dtype,
-                 fft_precision, fft_mode)
+                 fft_precision, fft_mode, pop_microbatch, renderer_fast,
+                 max_lti_pad)
     if cache_key in _FITNESS_CACHE:
         return _FITNESS_CACHE[cache_key][0]
     orig_model = model  # id()-keyed; pinned below alongside the variant
@@ -150,10 +170,25 @@ def make_fitness_fn(
             return jax.vmap(per_render, in_axes=(0, None))(W, x)
     else:
         # natively batched population renderer: fused LTI groups + Pallas
-        # compressor ballistics (ES needs no gradients -> fast=True)
+        # compressor ballistics (ES needs no gradients -> fast=True).
+        # When the style (and content, if any) embed peak-normalizes its
+        # own input (get_param_embeds does, like the reference's), the
+        # renderer-level output normalization is redundant for the fitness
+        # value — skip its global-max reduce + divide passes over the
+        # badly tiled (B, 2, T) layout. return_audio keeps it: savepop
+        # writes the normalized audio out.
+        skip_norm = (
+            not return_audio
+            and getattr(embed_func, "peak_normalizes_input", False)
+            and (content_model is None
+                 or getattr(content_embed_func, "peak_normalizes_input",
+                            False)))
         render = build_batched_render_fn(chain, sample_rate, num_channels,
-                                         fast=True, fft_mode=fft_mode,
-                                         fft_precision=fft_precision)
+                                         fast=renderer_fast,
+                                         fft_mode=fft_mode,
+                                         fft_precision=fft_precision,
+                                         peak_normalize_output=not skip_norm,
+                                         max_lti_pad=max_lti_pad)
 
     # Host-side metric backends (CLAP / wav2vec2 torch wrappers, marked
     # with .host_side) cannot trace into the jitted program: render on
@@ -199,8 +234,8 @@ def make_fitness_fn(
     model_params = getattr(model, "params", None)
     content_params = getattr(content_model, "params", None)
 
-    def fitness_impl(mparams, cparams, W, x, target_embeds,
-                     target_content_embeds, rng):
+    def _score_impl(mparams, cparams, W, x, target_embeds,
+                    target_content_embeds, rng):
         Y = render(W, x)  # (pop, C, T)
         output_embeds = embed_func(
             Y, model, sample_rate,
@@ -218,6 +253,20 @@ def make_fitness_fn(
         if return_audio:
             return fvals, output_embeds, Y
         return fvals
+
+    def fitness_impl(mparams, cparams, W, x, target_embeds,
+                     target_content_embeds, rng):
+        mb = pop_microbatch
+        if (mb and not return_audio and W.shape[0] > mb
+                and W.shape[0] % mb == 0):
+            Wb = W.reshape(W.shape[0] // mb, mb, W.shape[1])
+            fvals = jax.lax.map(
+                lambda Wi: _score_impl(mparams, cparams, Wi, x,
+                                       target_embeds, target_content_embeds,
+                                       rng), Wb)
+            return fvals.reshape(-1)
+        return _score_impl(mparams, cparams, W, x, target_embeds,
+                           target_content_embeds, rng)
 
     if mesh is not None:
         w_sharding = NamedSharding(mesh, P("pop", None))
@@ -279,16 +328,21 @@ def _chunked_embed_for(base_embed: Callable, chunk_len: int,
         return _CHUNKED_EMBED_CACHE[key]
     h = hop or chunk_len
 
-    def chunked(x, model, sample_rate, **kwargs):
-        bs, chs, T = x.shape
-        if T <= chunk_len:
-            return base_embed(x, model, sample_rate, **kwargs)
-        n_chunks = (T - chunk_len) // h + 1
+    # The chunk/reduce glue MUST be jitted: run_es calls the wrapper at
+    # host level for the target embedding, and eager op-by-op dispatch is
+    # unimplemented on the remote-relay TPU backend — the failure surfaces
+    # asynchronously at the NEXT blocking fetch (debugged as a spurious
+    # "constant fetch UNIMPLEMENTED" during the ES runner's lowering).
+    @partial(jax.jit, static_argnames=("n_chunks", "hop", "chunk"))
+    def _split(x, n_chunks, hop, chunk):
+        bs, chs, _ = x.shape
         chunks = jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(x, i * h, chunk_len, axis=-1)
+            [jax.lax.dynamic_slice_in_dim(x, i * hop, chunk, axis=-1)
              for i in range(n_chunks)], axis=1)
-        chunks = chunks.reshape(bs * n_chunks, chs, chunk_len)
-        e = base_embed(chunks, model, sample_rate, **kwargs)
+        return chunks.reshape(bs * n_chunks, chs, chunk)
+
+    @partial(jax.jit, static_argnames=("bs", "n_chunks"))
+    def _reduce(e, bs, n_chunks):
         out = {}
         for k, v in e.items():
             v = v.reshape(bs, n_chunks, -1).mean(axis=1)
@@ -296,6 +350,17 @@ def _chunked_embed_for(base_embed: Callable, chunk_len: int,
                 jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
         return out
 
+    def chunked(x, model, sample_rate, **kwargs):
+        bs, chs, T = x.shape
+        if T <= chunk_len:
+            return base_embed(x, model, sample_rate, **kwargs)
+        n_chunks = (T - chunk_len) // h + 1
+        chunks = _split(x, n_chunks=n_chunks, hop=h, chunk=chunk_len)
+        e = base_embed(chunks, model, sample_rate, **kwargs)
+        return _reduce(e, bs=bs, n_chunks=n_chunks)
+
+    chunked.peak_normalizes_input = getattr(
+        base_embed, "peak_normalizes_input", False)
     _CHUNKED_EMBED_CACHE[key] = chunked
     return chunked
 
@@ -355,6 +420,7 @@ def run_es(
     w_template: np.ndarray | None = None,
     chunked: bool = False,
     fft_mode: str = "auto",
+    pop_microbatch: int | None = None,
     **kwargs,
 ):
     """CMA-ES inference-time optimization
@@ -437,11 +503,50 @@ def run_es(
         # (reference crop semantics: style_transfer.py:505-518).
         eval_len = min(T, crop_len)
 
+    # Chunked mode caps the fused-LTI tail guard at ~10 s: the worst-case
+    # freeverb RT60. A full-T guard on a 60 s input doubles the FFT grid
+    # to next_pow2(2T) = 2^23, whose XLA program was measured to OOM-kill
+    # the remote compile helper; the capped grid stays at next_pow2(T+10s)
+    # with tail wraparound <= -60 dB.
+    max_lti_pad = min(T, 10 * int(sample_rate)) if chunked else None
+
+    if chunked and pop_microbatch is None and mesh is None and not savepop:
+        # Auto-cap the live HBM working set: the full-length render's
+        # dominant temps scale with the LTI FFT grid, measured ~45 B per
+        # FFT sample per candidate on v5e (pop 128 @ 60 s = 24 GB
+        # requested vs 15.75 GB HBM at the old 2T grid). Halve the
+        # sub-batch until ~8 GB of temps fit; compute per candidate is
+        # unchanged (lax.map serializes the sub-batches).
+        from st_ito_tpu.ops.iir import next_pow2
+
+        per_cand = 48 * next_pow2(T + max_lti_pad)
+        mb = popsize
+        while mb > 8 and mb % 2 == 0 and mb * per_cand > (8 << 30):
+            mb //= 2
+        pop_microbatch = mb if mb < popsize else None
+
+    # The Pallas time-domain kernels pad the population axis to 1024
+    # lanes: on very long eval windows their (T, 1024) f32 layouts alone
+    # exceed HBM (2 x 11 GB at 60 s) regardless of microbatching. Use the
+    # associative-scan renderer there; the LTI group stays on the MXU
+    # four-step FFT ("mx" — the Pallas response/mega kernels need
+    # fast=True).
+    renderer_fast = True
+    from st_ito_tpu.ops.pallas.scan import pallas_scan_profitable
+
+    if not pallas_scan_profitable(
+            2 * (pop_microbatch or popsize), eval_len):
+        renderer_fast = False
+        if fft_mode == "auto":
+            fft_mode = "mx"
+
     fitness = make_fitness_fn(
         chain, model, sample_rate, x_full.shape[0], embed_func,
         content_model, content_embed_func, dropout,
         normalize_stages, mesh, return_audio=savepop,
         compute_dtype=fitness_dtype, fft_mode=fft_mode,
+        pop_microbatch=pop_microbatch, renderer_fast=renderer_fast,
+        max_lti_pad=max_lti_pad,
     )
     # Dropout is disabled on the final generation (reference:
     # style_transfer.py:632-635); a second cached program with dropout=0
@@ -451,6 +556,8 @@ def run_es(
         content_model, content_embed_func, 0.0,
         normalize_stages, mesh, return_audio=savepop,
         compute_dtype=fitness_dtype, fft_mode=fft_mode,
+        pop_microbatch=pop_microbatch, renderer_fast=renderer_fast,
+        max_lti_pad=max_lti_pad,
     )
 
     def eval_W(W, iteration_rng, dropout_active=True):
@@ -1090,9 +1197,6 @@ def run_learned_inference(
         "time_elapsed": time.time() - t0,
     }
     return result
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("sample_rate",))

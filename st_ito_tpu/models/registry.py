@@ -173,6 +173,15 @@ def get_param_embeds(
                             peak_normalize, float(dropout))
 
 
+# get_param_embeds peak-normalizes its own input (peak_normalize=True,
+# mirroring the reference's get_param_embeds, utils.py:444-508) — fitness
+# builders can therefore skip the renderer-level output normalization,
+# whose global-max reduce + divide run on the badly tiled (B, 2, T)
+# layout (~4x sublane padding at C=2). Scale invariance makes the two
+# paths equal: embed(y / max|y|) == embed(y).
+get_param_embeds.peak_normalizes_input = True
+
+
 def get_param_embeds_chunked(
     x: jnp.ndarray,
     model: ParamModel,
@@ -200,6 +209,12 @@ def get_param_embeds_chunked(
         v = v.reshape(bs, n_chunks, -1).mean(axis=1)
         out[k] = _l2_normalize(v)
     return out
+
+
+# per-chunk normalization inside get_param_embeds makes the chunked embed
+# scale-invariant as well (norm of each chunk of c*x == norm of the chunk
+# of x), so renderer-level peak normalization is equally skippable
+get_param_embeds_chunked.peak_normalizes_input = True
 
 
 def export_encoder_npz(params: dict, path: str,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from st_ito_tpu.ops.iir import linear_recurrence
 
@@ -104,9 +105,12 @@ def ballistics(c: jnp.ndarray, alpha_attack, alpha_release,
                fast: bool = False) -> jnp.ndarray:
     """Decoupled detector over the last axis; c (..., T)."""
     if fast and jax.default_backend() == "tpu":
-        from st_ito_tpu.ops.pallas.scan import ballistics_pallas
+        from st_ito_tpu.ops.pallas.scan import (
+            ballistics_pallas, pallas_scan_profitable)
 
-        return ballistics_pallas(c, alpha_attack, alpha_release)
+        if pallas_scan_profitable(
+                int(np.prod(c.shape[:-1])), c.shape[-1]):
+            return ballistics_pallas(c, alpha_attack, alpha_release)
     return ballistics_parallel(c, alpha_attack, alpha_release)
 
 
@@ -162,8 +166,12 @@ def compressor(
     x_in = x  # pre-lookahead dry signal for the bypass blend
     alpha_a_ = _time_constant_alpha(attack_ms, sample_rate)
     alpha_r_ = _time_constant_alpha(release_ms, sample_rate)
+    from st_ito_tpu.ops.pallas.scan import pallas_scan_profitable
+
     if (fast and not link_channels and lookahead_samples == 0
-            and not exact_ballistics and jax.default_backend() == "tpu"):
+            and not exact_ballistics and jax.default_backend() == "tpu"
+            and pallas_scan_profitable(
+                int(np.prod(x.shape[:-1])), x.shape[-1])):
         # entire compressor fused into one Pallas pass (unlinked channels:
         # the detector is purely per-lane) — saves ~5 HBM round trips of
         # the population signal vs the op-by-op form below

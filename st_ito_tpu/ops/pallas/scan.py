@@ -36,6 +36,21 @@ def pallas_scan_available() -> bool:
     return _HAS_PALLAS and jax.default_backend() == "tpu"
 
 
+_MAX_SCAN_HBM_BYTES = 6 << 30  # (T, lead_pad) f32 in+out pair budget
+
+
+def pallas_scan_profitable(lead: int, T: int) -> bool:
+    """False when the kernel's (T, lead_pad) layout would dominate HBM.
+    The parallel-recurrence axis pads to the 1024-lane tile, so a small
+    population on a very long signal pays up to a 16x memory blow-up
+    (observed: 2 x 11 GB buffers for a 60 s chunked render at population
+    microbatch 32, OOMing a 16 GB v5e). Callers fall back to the
+    associative-scan form, whose memory is proportional to the REAL
+    lead x T."""
+    lead_pad = -(-lead // _TILE) * _TILE
+    return 2 * 4 * T * lead_pad <= _MAX_SCAN_HBM_BYTES
+
+
 # --------------------------------------------------------------------------
 # kernels
 # --------------------------------------------------------------------------

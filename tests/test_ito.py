@@ -391,6 +391,58 @@ def test_run_es_chunked_long_audio(mfcc_setup):
         embed_func, L)
 
 
+def test_fitness_pop_microbatch_equivalence(mfcc_setup):
+    """pop_microbatch (the HBM cap for full-length chunked renders: pop
+    128 @ 60 s requested 24 GB of temps on a 16 GB v5e) evaluates the
+    population in lax.map sub-batches and must match the full-population
+    fitness exactly."""
+    from st_ito_tpu.ito.engine import make_fitness_fn
+    from st_ito_tpu.models.registry import get_param_embeds, load_param_model
+
+    chain = _small_chain()
+    model = load_param_model(allow_random=True)
+    x = _test_signal()[0]
+    W = jnp.asarray(RNG.uniform(0.1, 0.9, (12, chain.num_params))
+                    .astype(np.float32))
+    te = get_param_embeds(x[None], model, SR)
+    key = jax.random.PRNGKey(0)
+    f_full = make_fitness_fn(chain, model, SR, x.shape[0],
+                             compute_dtype="float32")
+    f_mb = make_fitness_fn(chain, model, SR, x.shape[0],
+                           compute_dtype="float32", pop_microbatch=4)
+    a = np.asarray(f_full(W, x, te, None, key))
+    b = np.asarray(f_mb(W, x, te, None, key))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_fitness_skips_redundant_peak_norm(mfcc_setup):
+    """With a self-normalizing embed (get_param_embeds), the fitness
+    renderer skips its output peak-normalization; values must match the
+    explicit render-with-norm -> embed -> cosine pipeline exactly (the
+    embed's own peak_normalize makes the two scale-invariant-equal)."""
+    from st_ito_tpu.chain.executor import build_batched_render_fn
+    from st_ito_tpu.ito.engine import make_fitness_fn
+    from st_ito_tpu.models.registry import get_param_embeds, load_param_model
+
+    chain = _small_chain()
+    model = load_param_model(allow_random=True)
+    x = _test_signal()[0]
+    W = jnp.asarray(RNG.uniform(0.1, 0.9, (6, chain.num_params))
+                    .astype(np.float32))
+    te = get_param_embeds(x[None], model, SR)
+    fit = make_fitness_fn(chain, model, SR, x.shape[0],
+                          compute_dtype="float32")
+    got = np.asarray(fit(W, x, te, None, jax.random.PRNGKey(0)))
+
+    render = build_batched_render_fn(chain, SR, x.shape[0], fast=False,
+                                     peak_normalize_output=True)
+    Y = render(W, jnp.broadcast_to(x[None], (6,) + x.shape))
+    oe = get_param_embeds(Y, model, SR)
+    exp = np.mean([-np.sum(np.asarray(oe[k]) * np.asarray(te[k]), axis=-1)
+                   for k in oe], axis=0)
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
 def test_run_staged_es(mfcc_setup):
     """Per-stage CMA-ES with earlier stages frozen at their optimum
     (reference: scripts/run_optim.py:39-234)."""
