@@ -53,7 +53,7 @@ def _load_shard_pool(shard_dir, max_examples=None):
 
 def get_or_train_encoder(out_dir, sources, steps, num_examples=768,
                          batch_size=16, lr=3e-4, val_every=200,
-                         num_presets=6):
+                         num_presets=6, embed_dim=128, base_channels=32):
     """Train the pretext encoder (once) and return the trained ParamModel.
     Trains in k-step lax.scan blocks over a device-resident pool (per-step
     relay dispatch + uploads dominated the old cli/train loop and leak
@@ -84,7 +84,8 @@ def get_or_train_encoder(out_dir, sources, steps, num_examples=768,
                                      length=131072,
                                      examples_per_shard=64, seed=0)
         cfg = ParamEstimatorConfig(
-            encoder=Cnn14Config(embed_dim=128, base_channels=32,
+            encoder=Cnn14Config(embed_dim=embed_dim,
+                                base_channels=base_channels,
                                 sample_rate=48000),
             lr=lr, num_instances=bank.num_instances,
             num_presets=bank.num_presets)
@@ -220,6 +221,8 @@ def main():
     parser.add_argument("--popsize", type=int, default=128)
     parser.add_argument("--sources-per-mode", type=int, default=2)
     parser.add_argument("--data-examples", type=int, default=768)
+    parser.add_argument("--embed-dim", type=int, default=128)
+    parser.add_argument("--base-channels", type=int, default=32)
     parser.add_argument("--psm-distractors", type=int, default=5)
     parser.add_argument("--psm-examples", type=int, default=32)
     parser.add_argument("--gens-per-dispatch", type=int, default=1)
@@ -235,7 +238,9 @@ def main():
     # 1. trained benchmark metric
     model = get_or_train_encoder(args.out, sources, args.encoder_steps,
                                  args.data_examples,
-                                 num_presets=args.num_presets)
+                                 num_presets=args.num_presets,
+                                 embed_dim=args.embed_dim,
+                                 base_channels=args.base_channels)
     print("trained encoder ready")
 
     from st_ito_tpu.eval.pst import default_methods, run_pst_benchmark
