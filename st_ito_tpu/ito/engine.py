@@ -140,9 +140,9 @@ def make_fitness_fn(
     (the embed-dropout mask would repeat across sub-batches).
 
     ``renderer_fast=False`` swaps the Pallas time-domain kernels for the
-    associative-scan forms (serial == parallel, tested): the Pallas scan
-    layout pads the population axis to 1024 lanes, which blows HBM on
-    very long signals with small sub-batches (pallas_scan_profitable).
+    associative-scan forms (serial == parallel, tested) — the
+    differentiable path. Long signals no longer need it: the Pallas scan
+    segment-chunks T with bounded memory (ops/pallas/scan.py _run_scan).
 
     Programs are cached per (chain, model, config) so repeated run_es calls
     in one process (e.g. the PST benchmark looping over examples) reuse the
@@ -525,20 +525,13 @@ def run_es(
             mb //= 2
         pop_microbatch = mb if mb < popsize else None
 
-    # The Pallas time-domain kernels pad the population axis to 1024
-    # lanes: on very long eval windows their (T, 1024) f32 layouts alone
-    # exceed HBM (2 x 11 GB at 60 s) regardless of microbatching. Use the
-    # associative-scan renderer there; the LTI group stays on the MXU
-    # four-step FFT ("mx" — the Pallas response/mega kernels need
-    # fast=True).
+    # Very long eval windows used to force the associative-scan renderer
+    # here (the Pallas scan's fat (T, 1024) layouts blew HBM); _run_scan
+    # now segment-chunks T with explicit carry I/O, so the fast renderer
+    # holds at any length with bounded memory — and avoids the
+    # assoc-scan's log2(T)-stage HLO, which took >23 min to compile at
+    # 60 s through the relay compile service.
     renderer_fast = True
-    from st_ito_tpu.ops.pallas.scan import pallas_scan_profitable
-
-    if not pallas_scan_profitable(
-            2 * (pop_microbatch or popsize), eval_len):
-        renderer_fast = False
-        if fft_mode == "auto":
-            fft_mode = "mx"
 
     fitness = make_fitness_fn(
         chain, model, sample_rate, x_full.shape[0], embed_func,

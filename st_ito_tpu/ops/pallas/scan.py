@@ -40,15 +40,17 @@ _MAX_SCAN_HBM_BYTES = 6 << 30  # (T, lead_pad) f32 in+out pair budget
 
 
 def pallas_scan_profitable(lead: int, T: int) -> bool:
-    """False when the kernel's (T, lead_pad) layout would dominate HBM.
-    The parallel-recurrence axis pads to the 1024-lane tile, so a small
-    population on a very long signal pays up to a 16x memory blow-up
-    (observed: 2 x 11 GB buffers for a 60 s chunked render at population
-    microbatch 32, OOMing a 16 GB v5e). Callers fall back to the
-    associative-scan form, whose memory is proportional to the REAL
-    lead x T."""
-    lead_pad = -(-lead // _TILE) * _TILE
-    return 2 * 4 * T * lead_pad <= _MAX_SCAN_HBM_BYTES
+    """Always True since segment-chunked execution landed: when the fat
+    (T, lead_pad) layout would dominate HBM (the 1024-lane tile pads a
+    small population on a very long signal up to 16x — observed 2 x 11 GB
+    buffers for a 60 s chunked render at population microbatch 32),
+    _run_scan now splits T into bounded segments threaded through explicit
+    carry I/O instead of falling back to the associative-scan form (whose
+    log2(T)-stage unrolled HLO took >23 min to compile at minutes-long T).
+    Kept for API stability; callers may treat it as an availability
+    check."""
+    del lead, T
+    return True
 
 
 # --------------------------------------------------------------------------
@@ -59,15 +61,9 @@ def pallas_scan_profitable(lead: int, T: int) -> bool:
 def _ballistics_kernel(c_ref, aa_ref, ar_ref, out_ref, carry):
     """Decoupled detector over one (T_blk, 8, 128) block.
 
-    carry: (2, 8, 128) scratch = (y1, g) persisted across T blocks.
+    carry: (2, 8, 128) scratch = (y1, g) persisted across T blocks
+    (initialized by the _run_scan wrapper at the first T block).
     """
-    t_idx = pl.program_id(1)
-
-    @pl.when(t_idx == 0)
-    def _():
-        carry[0] = jnp.zeros_like(carry[0])
-        carry[1] = jnp.zeros_like(carry[1])
-
     aa = aa_ref[0]
     ar = ar_ref[0]
     T_blk = c_ref.shape[0]
@@ -106,12 +102,6 @@ def _make_biquad_cascade_kernel(num_sections: int, with_active: bool = False):
         act = rest[5 * num_sections][0] if with_active else None
         out_ref = rest[n_vec]
         carry = rest[n_vec + 1]
-        t_idx = pl.program_id(1)
-
-        @pl.when(t_idx == 0)
-        def _():
-            for i in range(2 * num_sections):
-                carry[i] = jnp.zeros_like(carry[i])
 
         coeffs = [coeff_refs[i][0] for i in range(5 * num_sections)]
         T_blk = x_ref.shape[0]
@@ -218,12 +208,6 @@ def _make_eq_comp_kernel(num_sections: int, eq_active: bool,
         out_ref = rest[n_vec]
         carry = rest[n_vec + 1]
         gbuf = rest[n_vec + 2]
-        t_idx = pl.program_id(1)
-
-        @pl.when(t_idx == 0)
-        def _():
-            for i in range(2 * num_sections + 2):
-                carry[i] = jnp.zeros_like(carry[i])
 
         coeffs = [coeff_refs[i][0] for i in range(5 * num_sections)]
         T_blk = x_ref.shape[0]
@@ -402,12 +386,6 @@ def _make_compressor_kernel(with_active: bool = False):
         act = rest[0][0] if with_active else None
         out_ref = rest[1 if with_active else 0]
         carry = rest[2 if with_active else 1]
-        t_idx = pl.program_id(1)
-
-        @pl.when(t_idx == 0)
-        def _():
-            carry[0] = jnp.zeros_like(carry[0])
-            carry[1] = jnp.zeros_like(carry[1])
 
         th = th_ref[0]
         slope = slope_ref[0]  # 1/ratio - 1
@@ -497,12 +475,6 @@ def compressor_fused_pallas(
 
 def _linrec_kernel(a_ref, b_ref, out_ref, carry):
     """y[t] = a[t]*y[t-1] + b[t] over one (T_blk, 8, 128) block."""
-    t_idx = pl.program_id(1)
-
-    @pl.when(t_idx == 0)
-    def _():
-        carry[0] = jnp.zeros_like(carry[0])
-
     T_blk = a_ref.shape[0]
 
     def body(t, y):
@@ -527,66 +499,66 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, widths)
 
 
-def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
-              carry_shape=(2, _SUBLANE, _LANE), gain_scratch=False,
-              vmem_limit_mb=None, shared_seq=False):
-    """seq_inputs: list of (lead, T) arrays; vec_inputs: list of (lead,)
-    arrays broadcast per recurrence. Returns (lead, T).
+_SEG_TARGET_BYTES = 1 << 30  # fat (T_seg, lead_pad) in+out pair per segment
 
-    ``shared_seq``: seq_inputs is ONE (C, T) array shared by every lead
-    slot with channel = lead % C (the layout of reshape((B, C)) leads).
-    Instead of materializing + relayouting the (lead, T) broadcast
-    (~2-3 GB of HBM traffic per generation on the ES hot path), a tiny
-    (T, 128) lane pattern is streamed and broadcast across sublanes
-    in-kernel. Requires 128 % C == 0 and a kernel that reads its input
-    item-wise (x_ref[t]) only."""
-    G = -(-lead // _TILE)
+
+def _scan_call(kernel, seq, seq_specs, vec, T_seg, t_block, G, carry_shape,
+               gain_scratch, vmem_limit_mb, interpret, shared_seq,
+               carry_in=None):
+    """One pallas_call over (G, T_seg // t_block) blocks. seq/vec arrive in
+    final (fat-block / lane-pattern / vec) array form with their specs.
+
+    ``carry_in`` (G, nstate, 8, 128) switches the carry to explicit I/O:
+    the wrapper seeds the VMEM carry from it at the first T block and
+    emits the final state as a second output — the segment-chunked
+    execution path threads it through lax.scan. Without it the carry is
+    zero-initialized scratch (single-call path, original behavior)."""
+    nstate = carry_shape[0]
+    n_seq = len(seq)
+    n_vec = len(vec)
+    with_cio = carry_in is not None
+    Tb = T_seg // t_block
     lead_pad = G * _TILE
-    Tb = -(-T // t_block)
-    T_pad = Tb * t_block
 
-    # (lead, T) -> (T, G, 8, 128)
-    def to_blocks(x):
-        x = _pad_to(x, lead_pad, 0)
-        x = _pad_to(x, T_pad, 1)
-        x = x.T.reshape(T_pad, G, _SUBLANE, _LANE)
-        return x
-
-    seq_spec = pl.BlockSpec(
-        (t_block, 1, _SUBLANE, _LANE),
-        lambda g, t: (t, g, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    if shared_seq:
-        (x2,) = seq_inputs
-        C = x2.shape[0]
-        assert _LANE % C == 0, f"shared_seq needs 128 % C == 0, C={C}"
-        # (T, 128) with row t = [x_0[t], .., x_{C-1}[t], x_0[t], ...] —
-        # exactly the per-lane input of the (T, G, 8, 128) layout
-        xl = jnp.tile(x2.T.astype(jnp.float32), (1, _LANE // C))
-        seq = [_pad_to(xl, T_pad, 0)]
-        seq_specs = [pl.BlockSpec((t_block, _LANE), lambda g, t: (t, 0),
-                                  memory_space=pltpu.VMEM)]
-    else:
-        seq = [to_blocks(x) for x in seq_inputs]
-        seq_specs = [seq_spec] * len(seq)
-    vec = [
-        _pad_to(v, lead_pad, 0).reshape(1, G, _SUBLANE, _LANE)
-        for v in vec_inputs
-    ]
-
-    grid = (G, Tb)
     vec_spec = pl.BlockSpec(
         (1, 1, _SUBLANE, _LANE),
         lambda g, t: (0, g, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    out_spec = pl.BlockSpec(
+        (t_block, 1, _SUBLANE, _LANE),
+        lambda g, t: (t, g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cio_spec = pl.BlockSpec(
+        (1, nstate, _SUBLANE, _LANE),
+        lambda g, t: (g, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
     def kernel_wrap(*refs):
-        if gain_scratch:
-            *ins, out_ref, carry, gbuf = refs
-        else:
-            *ins, out_ref, carry = refs
+        ins = refs[:n_seq + n_vec]
+        pos = n_seq + n_vec
+        cin_ref = refs[pos] if with_cio else None
+        pos += 1 if with_cio else 0
+        out_ref = refs[pos]
+        pos += 1
+        cout_ref = refs[pos] if with_cio else None
+        pos += 1 if with_cio else 0
+        carry = refs[pos]
+        pos += 1
+        gbuf = refs[pos] if gain_scratch else None
+
+        t_idx = pl.program_id(1)
+
+        @pl.when(t_idx == 0)
+        def _():
+            for i in range(nstate):
+                if with_cio:
+                    carry[i] = cin_ref[0, i]
+                else:
+                    carry[i] = jnp.zeros(carry.shape[1:], carry.dtype)
+
         # drop the singleton G axis from each block view
         class _View:
             def __init__(self, ref):
@@ -618,26 +590,147 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
         else:
             kernel(*views, _View(out_ref), carry)
 
+        if with_cio:
+            @pl.when(t_idx == Tb - 1)
+            def _():
+                for i in range(nstate):
+                    cout_ref[0, i] = carry[i]
+
     kwargs = {}
     if not interpret and vmem_limit_mb is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((T_seg, G, _SUBLANE, _LANE),
+                                       jnp.float32)]
+    out_specs = [out_spec]
+    if with_cio:
+        out_shapes.append(jax.ShapeDtypeStruct((G, nstate, _SUBLANE, _LANE),
+                                               jnp.float32))
+        out_specs.append(cio_spec)
+    outs = pl.pallas_call(
         kernel_wrap,
-        grid=grid,
-        in_specs=seq_specs + [vec_spec] * len(vec),
-        out_specs=seq_spec,
-        out_shape=jax.ShapeDtypeStruct((T_pad, G, _SUBLANE, _LANE), jnp.float32),
+        grid=(G, Tb),
+        in_specs=(list(seq_specs) + [vec_spec] * n_vec
+                  + ([cio_spec] if with_cio else [])),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=(
             [pltpu.VMEM(carry_shape, jnp.float32)]
             + ([pltpu.VMEM((t_block, _SUBLANE, _LANE), jnp.float32)]
                if gain_scratch else [])),
         interpret=interpret,
         **kwargs,
-    )(*seq, *vec)
+    )(*seq, *vec, *([carry_in] if with_cio else []))
+    if with_cio:
+        return outs[0], outs[1]
+    return outs[0], None
 
-    out = out.reshape(T_pad, lead_pad).T
-    return out[:lead, :T]
+
+def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
+              carry_shape=(2, _SUBLANE, _LANE), gain_scratch=False,
+              vmem_limit_mb=None, shared_seq=False):
+    """seq_inputs: list of (lead, T) arrays; vec_inputs: list of (lead,)
+    arrays broadcast per recurrence. Returns (lead, T).
+
+    ``shared_seq``: seq_inputs is ONE (C, T) array shared by every lead
+    slot with channel = lead % C (the layout of reshape((B, C)) leads).
+    Instead of materializing + relayouting the (lead, T) broadcast
+    (~2-3 GB of HBM traffic per generation on the ES hot path), a tiny
+    (T, 128) lane pattern is streamed and broadcast across sublanes
+    in-kernel. Requires 128 % C == 0 and a kernel that reads its input
+    item-wise (x_ref[t]) only.
+
+    Long signals run SEGMENT-CHUNKED automatically: when the fat
+    (T, lead_pad) in+out layouts would exceed _MAX_SCAN_HBM_BYTES, T is
+    split into ~_SEG_TARGET_BYTES segments executed by ONE compiled
+    pallas_call inside a lax.scan that threads the carry state through
+    explicit kernel I/O. Peak memory stays bounded by the segment size
+    (the compact (lead, T) forms are all that persists), and the
+    compiled program is segment-sized — this replaces the old
+    pallas_scan_profitable -> associative-scan fallback, whose
+    log2(T)-stage unrolled HLO at minutes-long T was measured to take
+    >23 min to compile on the relay compile service."""
+    G = -(-lead // _TILE)
+    lead_pad = G * _TILE
+    Tb = -(-T // t_block)
+    T_pad = Tb * t_block
+
+    vec = [
+        _pad_to(v, lead_pad, 0).reshape(1, G, _SUBLANE, _LANE)
+        for v in vec_inputs
+    ]
+    seq_spec = pl.BlockSpec(
+        (t_block, 1, _SUBLANE, _LANE),
+        lambda g, t: (t, g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lane_spec = pl.BlockSpec((t_block, _LANE), lambda g, t: (t, 0),
+                             memory_space=pltpu.VMEM)
+
+    if shared_seq:
+        (x2,) = seq_inputs
+        C = x2.shape[0]
+        assert _LANE % C == 0, f"shared_seq needs 128 % C == 0, C={C}"
+
+    # (lead, T_seg) -> (T_seg, G, 8, 128)
+    def to_blocks(x, T_seg):
+        x = _pad_to(x, lead_pad, 0)
+        x = _pad_to(x, T_seg, 1)
+        return x.T.reshape(T_seg, G, _SUBLANE, _LANE)
+
+    fat_bytes = 2 * 4 * T_pad * lead_pad
+    if fat_bytes <= _MAX_SCAN_HBM_BYTES:
+        # single-call path: whole T in one grid
+        if shared_seq:
+            # (T, 128) with row t = [x_0[t], .., x_{C-1}[t], x_0[t], ...]
+            # — exactly the per-lane input of the (T, G, 8, 128) layout
+            xl = jnp.tile(x2.T.astype(jnp.float32), (1, _LANE // C))
+            seq = [_pad_to(xl, T_pad, 0)]
+            seq_specs = [lane_spec]
+        else:
+            seq = [to_blocks(x.astype(jnp.float32), T_pad)
+                   for x in seq_inputs]
+            seq_specs = [seq_spec] * len(seq)
+        out, _ = _scan_call(kernel, seq, seq_specs, vec, T_pad, t_block, G,
+                            carry_shape, gain_scratch, vmem_limit_mb,
+                            interpret, shared_seq)
+        return out.reshape(T_pad, lead_pad).T[:lead, :T]
+
+    # ---- segment-chunked path ----
+    blocks_per_seg = max(1, _SEG_TARGET_BYTES // (2 * 4 * t_block * lead_pad))
+    seg_len = blocks_per_seg * t_block
+    S = -(-T_pad // seg_len)
+    T_pad2 = S * seg_len
+
+    if shared_seq:
+        xl = jnp.tile(x2.T.astype(jnp.float32), (1, _LANE // C))
+        xs = _pad_to(xl, T_pad2, 0).reshape(S, seg_len, _LANE)
+        seq_specs = [lane_spec]
+    else:
+        xs = jnp.stack(
+            [_pad_to(x.astype(jnp.float32), T_pad2, 1)
+             .reshape(lead, S, seg_len).swapaxes(0, 1)
+             for x in seq_inputs], axis=1)  # (S, n_seq, lead, seg)
+        seq_specs = [seq_spec] * len(seq_inputs)
+
+    carry0 = jnp.zeros((G,) + tuple(carry_shape), jnp.float32)
+
+    def body(carry, x_seg):
+        if shared_seq:
+            seq = [x_seg]
+        else:
+            seq = [to_blocks(x_seg[i], seg_len)
+                   for i in range(x_seg.shape[0])]
+        out_b, carry = _scan_call(kernel, seq, seq_specs, vec, seg_len,
+                                  t_block, G, carry_shape, gain_scratch,
+                                  vmem_limit_mb, interpret, shared_seq,
+                                  carry_in=carry)
+        # back to the compact (lead, seg) form before stacking
+        return carry, out_b.reshape(seg_len, lead_pad).T[:lead]
+
+    _, outs = jax.lax.scan(body, carry0, xs)  # (S, lead, seg)
+    out = jnp.moveaxis(outs, 0, 1).reshape(lead, T_pad2)
+    return out[:, :T]
 
 
 def ballistics_pallas(

@@ -193,3 +193,69 @@ def test_biquad_cascade_in_kernel_bypass_blend():
     np.testing.assert_array_equal(np.asarray(y_mask[2]), np.asarray(x[2]))
     np.testing.assert_allclose(np.asarray(y_mask[0]), np.asarray(y_on[0]),
                                atol=1e-6)
+
+
+def test_segmented_scan_matches_single_call():
+    """Long-T segment-chunked _run_scan (explicit carry I/O threaded
+    through lax.scan) is bit-exact vs the single-call grid for every
+    public scan kernel, including the shared-input eqcomp head. Replaces
+    the old associative-scan fallback on long signals (engine.py used to
+    flip renderer_fast=False; its log2(T)-stage HLO took >23 min to
+    compile at 60 s through the relay compile service)."""
+    import st_ito_tpu.ops.pallas.scan as S
+
+    rng = np.random.default_rng(7)
+    B, C, T = 3, 2, 1000
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32)) * 0.3
+    nsec = 6
+    b = jnp.asarray(rng.uniform(0.2, 1.0, (B, C, nsec, 3)).astype(np.float32))
+    a = jnp.concatenate(
+        [jnp.ones((B, C, nsec, 1)),
+         jnp.asarray(rng.uniform(-0.3, 0.3, (B, C, nsec, 2)).astype(
+             np.float32))], -1)
+    kw = dict(
+        threshold_db=jnp.asarray(rng.uniform(-30, -10, (B, 1)), jnp.float32),
+        ratio=jnp.asarray(rng.uniform(2, 6, (B, 1)), jnp.float32),
+        knee_db=0.5,
+        alpha_attack=jnp.asarray(rng.uniform(.8, .99, (B, 1)), jnp.float32),
+        alpha_release=jnp.asarray(rng.uniform(.8, .99, (B, 1)), jnp.float32),
+        makeup_gain_db=1.5,
+        eq_active=jnp.asarray([1., 0., 1.])[:, None],
+        comp_active=jnp.asarray([0., 1., 1.])[:, None],
+        drive_db=jnp.asarray(rng.uniform(0, 12, (B, 1)), jnp.float32),
+        dist_gain_db=-2.0,
+        dist_active=jnp.asarray([1., 1., 0.])[:, None],
+        t_block=128, interpret=True)
+    x2 = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32)) * 0.3
+    act = jnp.asarray([1., 0., 1.])[:, None]
+    aa = jnp.asarray(rng.uniform(0.8, 0.99, 5).astype(np.float32))
+    ar = jnp.asarray(rng.uniform(0.8, 0.99, 5).astype(np.float32))
+    c5 = jnp.asarray(rng.standard_normal((5, T)).astype(np.float32))
+    la = jnp.asarray(rng.uniform(-0.9, 0.9, (5, T)).astype(np.float32))
+    lb = jnp.asarray(rng.standard_normal((5, T)).astype(np.float32))
+
+    def run_all():
+        return (
+            S.eq_compressor_fused_pallas(x, b, a, **kw),
+            S.eq_compressor_fused_pallas(x2, b, a,
+                                         shared_lead_shape=(B, C), **kw),
+            S.compressor_fused_pallas(x, jnp.float32(-20), 4.0, 1.0, 0.9,
+                                      0.95, active=act, t_block=128,
+                                      interpret=True),
+            S.biquad_cascade_pallas(x, b, a, t_block=128, interpret=True,
+                                    active=act),
+            S.ballistics_pallas(c5, aa, ar, t_block=128, interpret=True),
+            S.linear_recurrence_pallas(la, lb, t_block=128, interpret=True),
+        )
+
+    saved = (S._MAX_SCAN_HBM_BYTES, S._SEG_TARGET_BYTES)
+    try:
+        # thresholds that force ~4 segments at these tiny shapes
+        S._MAX_SCAN_HBM_BYTES = 4 * 2 * 1024 * 600
+        S._SEG_TARGET_BYTES = 4 * 2 * 1024 * 256
+        seg = run_all()
+    finally:
+        S._MAX_SCAN_HBM_BYTES, S._SEG_TARGET_BYTES = saved
+    one = run_all()
+    for y_seg, y_one in zip(seg, one):
+        np.testing.assert_array_equal(np.asarray(y_seg), np.asarray(y_one))
