@@ -294,6 +294,7 @@ def eq_compressor_fused_pallas(
     t_block: int = 512,
     interpret: bool = False,
     shared_lead_shape: tuple | None = None,
+    compact_out: bool = True,
 ) -> jnp.ndarray:
     """Biquad-cascade EQ immediately followed by the unlinked feed-forward
     compressor (and, when ``drive_db`` is given, the tanh distortion with
@@ -366,6 +367,7 @@ def eq_compressor_fused_pallas(
         # Only this kernel needs the raise — the other _run_scan users fit.
         vmem_limit_mb=64,
         gain_scratch=True,
+        compact_out=compact_out,
     )
     return out.reshape(*lead_shape, T).astype(x.dtype)
 
@@ -502,9 +504,41 @@ def _pad_to(x, n, axis):
 _SEG_TARGET_BYTES = 1 << 30  # fat (T_seg, lead_pad) in+out pair per segment
 
 
+def _transpose_emit(blk, out_ref, t_block):
+    """Write the (t_block, 8, 128) VMEM block into a (1024, t_block)
+    compact-layout out block: outT[s*128+l, t] = blk[t, s, l].
+
+    Mosaic has no vector transpose, and the XLA-level alternative — the
+    (T, lead_pad) -> (lead, T) relayout of the whole population signal
+    after the kernel — profiled at ~13 ms/gen on the ES hot path
+    (PERF_NOTES "Remaining headroom"). Instead the transpose runs on the
+    otherwise-idle MXU as dn=((0,),(0,)) contractions against an exact
+    bf16 identity: dot_general(x (t,128), I (t,t)) = x^T with exactly
+    one nonzero product per output element. A 3-way bf16 split of x
+    (hi/lo/lolo, ~24 mantissa bits, each summand exact against I) keeps
+    the result f32-faithful; the three (128,t)x(t,t) passes per sublane
+    cost ~0.4 ms/gen of MXU time at pop 512 / T 2^18."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (t_block, t_block), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (t_block, t_block), 1)
+    eye = jnp.where(r == c, 1.0, 0.0).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+    for s in range(_SUBLANE):
+        x = blk[:, s, :]                       # (t_block, 128) f32
+        hi = x.astype(jnp.bfloat16)
+        r1 = x - hi.astype(jnp.float32)
+        lo = r1.astype(jnp.bfloat16)
+        ll = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = None
+        for part in (hi, lo, ll):
+            d = jax.lax.dot_general(part, eye, dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        out_ref[s * _LANE:(s + 1) * _LANE, :] = acc
+
+
 def _scan_call(kernel, seq, seq_specs, vec, T_seg, t_block, G, carry_shape,
                gain_scratch, vmem_limit_mb, interpret, shared_seq,
-               carry_in=None):
+               carry_in=None, compact_out=False):
     """One pallas_call over (G, T_seg // t_block) blocks. seq/vec arrive in
     final (fat-block / lane-pattern / vec) array form with their specs.
 
@@ -512,7 +546,11 @@ def _scan_call(kernel, seq, seq_specs, vec, T_seg, t_block, G, carry_shape,
     the wrapper seeds the VMEM carry from it at the first T block and
     emits the final state as a second output — the segment-chunked
     execution path threads it through lax.scan. Without it the carry is
-    zero-initialized scratch (single-call path, original behavior)."""
+    zero-initialized scratch (single-call path, original behavior).
+
+    ``compact_out``: the kernel writes its (t_block, 8, 128) block into a
+    VMEM scratch and _transpose_emit lands it in a (lead_pad, T_seg)
+    output directly — no XLA relayout pass downstream."""
     nstate = carry_shape[0]
     n_seq = len(seq)
     n_vec = len(vec)
@@ -525,11 +563,18 @@ def _scan_call(kernel, seq, seq_specs, vec, T_seg, t_block, G, carry_shape,
         lambda g, t: (0, g, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    out_spec = pl.BlockSpec(
-        (t_block, 1, _SUBLANE, _LANE),
-        lambda g, t: (t, g, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if compact_out:
+        out_spec = pl.BlockSpec(
+            (_TILE, t_block),
+            lambda g, t: (g, t),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (t_block, 1, _SUBLANE, _LANE),
+            lambda g, t: (t, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     cio_spec = pl.BlockSpec(
         (1, nstate, _SUBLANE, _LANE),
         lambda g, t: (g, 0, 0, 0),
@@ -548,6 +593,8 @@ def _scan_call(kernel, seq, seq_specs, vec, T_seg, t_block, G, carry_shape,
         carry = refs[pos]
         pos += 1
         gbuf = refs[pos] if gain_scratch else None
+        pos += 1 if gain_scratch else 0
+        oblk = refs[pos] if compact_out else None
 
         t_idx = pl.program_id(1)
 
@@ -585,10 +632,28 @@ def _scan_call(kernel, seq, seq_specs, vec, T_seg, t_block, G, carry_shape,
             views = [_SharedView(ins[0])] + [_View(r) for r in ins[1:]]
         else:
             views = [_View(r) for r in ins]
+
+        class _FlatView:
+            """compact_out: the kernel's working block is the oblk VMEM
+            scratch (same (t_block, 8, 128) view it always wrote); the
+            real out block gets the MXU-transposed copy afterwards."""
+            def __init__(self, ref):
+                self._ref = ref
+                self.shape = ref.shape
+
+            def __getitem__(self, t):
+                return self._ref[t]
+
+            def __setitem__(self, t, v):
+                self._ref[t] = v
+
+        out_view = _FlatView(oblk) if compact_out else _View(out_ref)
         if gain_scratch:
-            kernel(*views, _View(out_ref), carry, gbuf)
+            kernel(*views, out_view, carry, gbuf)
         else:
-            kernel(*views, _View(out_ref), carry)
+            kernel(*views, out_view, carry)
+        if compact_out:
+            _transpose_emit(oblk[...], out_ref, t_block)
 
         if with_cio:
             @pl.when(t_idx == Tb - 1)
@@ -600,8 +665,11 @@ def _scan_call(kernel, seq, seq_specs, vec, T_seg, t_block, G, carry_shape,
     if not interpret and vmem_limit_mb is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
-    out_shapes = [jax.ShapeDtypeStruct((T_seg, G, _SUBLANE, _LANE),
-                                       jnp.float32)]
+    if compact_out:
+        out_shapes = [jax.ShapeDtypeStruct((G * _TILE, T_seg), jnp.float32)]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((T_seg, G, _SUBLANE, _LANE),
+                                           jnp.float32)]
     out_specs = [out_spec]
     if with_cio:
         out_shapes.append(jax.ShapeDtypeStruct((G, nstate, _SUBLANE, _LANE),
@@ -617,7 +685,9 @@ def _scan_call(kernel, seq, seq_specs, vec, T_seg, t_block, G, carry_shape,
         scratch_shapes=(
             [pltpu.VMEM(carry_shape, jnp.float32)]
             + ([pltpu.VMEM((t_block, _SUBLANE, _LANE), jnp.float32)]
-               if gain_scratch else [])),
+               if gain_scratch else [])
+            + ([pltpu.VMEM((t_block, _SUBLANE, _LANE), jnp.float32)]
+               if compact_out else [])),
         interpret=interpret,
         **kwargs,
     )(*seq, *vec, *([carry_in] if with_cio else []))
@@ -628,7 +698,7 @@ def _scan_call(kernel, seq, seq_specs, vec, T_seg, t_block, G, carry_shape,
 
 def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
               carry_shape=(2, _SUBLANE, _LANE), gain_scratch=False,
-              vmem_limit_mb=None, shared_seq=False):
+              vmem_limit_mb=None, shared_seq=False, compact_out=False):
     """seq_inputs: list of (lead, T) arrays; vec_inputs: list of (lead,)
     arrays broadcast per recurrence. Returns (lead, T).
 
@@ -693,7 +763,9 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
             seq_specs = [seq_spec] * len(seq)
         out, _ = _scan_call(kernel, seq, seq_specs, vec, T_pad, t_block, G,
                             carry_shape, gain_scratch, vmem_limit_mb,
-                            interpret, shared_seq)
+                            interpret, shared_seq, compact_out=compact_out)
+        if compact_out:
+            return out[:lead, :T]
         return out.reshape(T_pad, lead_pad).T[:lead, :T]
 
     # ---- segment-chunked path ----
@@ -724,8 +796,10 @@ def _run_scan(kernel, seq_inputs, vec_inputs, T, lead, t_block, interpret,
         out_b, carry = _scan_call(kernel, seq, seq_specs, vec, seg_len,
                                   t_block, G, carry_shape, gain_scratch,
                                   vmem_limit_mb, interpret, shared_seq,
-                                  carry_in=carry)
+                                  carry_in=carry, compact_out=compact_out)
         # back to the compact (lead, seg) form before stacking
+        if compact_out:
+            return carry, out_b[:lead]
         return carry, out_b.reshape(seg_len, lead_pad).T[:lead]
 
     _, outs = jax.lax.scan(body, carry0, xs)  # (S, lead, seg)

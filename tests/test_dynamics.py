@@ -259,3 +259,41 @@ def test_segmented_scan_matches_single_call():
     one = run_all()
     for y_seg, y_one in zip(seg, one):
         np.testing.assert_array_equal(np.asarray(y_seg), np.asarray(y_one))
+
+
+def test_eq_comp_compact_out_matches_fat_layout():
+    """compact_out=True (the default: in-kernel MXU identity-dot transpose
+    emitting (lead, T) directly, deleting the ~13 ms/gen XLA relayout on
+    the ES hot path) is bit-exact vs the original fat-layout output, for
+    both the per-candidate and the shared-input forms and under
+    segment-chunked execution."""
+    import st_ito_tpu.ops.pallas.scan as S
+
+    rng = np.random.default_rng(11)
+    B, C, T, nsec = 3, 2, 700, 6
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32)) * 0.3
+    x2 = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32)) * 0.3
+    b = jnp.asarray(rng.uniform(0.2, 1.0, (B, C, nsec, 3)).astype(np.float32))
+    a = jnp.concatenate(
+        [jnp.ones((B, C, nsec, 1)),
+         jnp.asarray(rng.uniform(-0.3, 0.3, (B, C, nsec, 2)).astype(
+             np.float32))], -1)
+    kw = dict(threshold_db=-18.0, ratio=4.0, knee_db=2.0,
+              alpha_attack=0.92, alpha_release=0.97, makeup_gain_db=1.0,
+              drive_db=6.0, dist_gain_db=-2.0, t_block=128, interpret=True)
+
+    def pair(**extra):
+        yc = S.eq_compressor_fused_pallas(compact_out=True, **kw, **extra)
+        yf = S.eq_compressor_fused_pallas(compact_out=False, **kw, **extra)
+        np.testing.assert_array_equal(np.asarray(yc), np.asarray(yf))
+
+    pair(x=x, b=b, a=a)
+    pair(x=x2, b=b, a=a, shared_lead_shape=(B, C))
+    saved = (S._MAX_SCAN_HBM_BYTES, S._SEG_TARGET_BYTES)
+    try:
+        S._MAX_SCAN_HBM_BYTES = 4 * 2 * 1024 * 600
+        S._SEG_TARGET_BYTES = 4 * 2 * 1024 * 256
+        pair(x=x, b=b, a=a)
+        pair(x=x2, b=b, a=a, shared_lead_shape=(B, C))
+    finally:
+        S._MAX_SCAN_HBM_BYTES, S._SEG_TARGET_BYTES = saved
