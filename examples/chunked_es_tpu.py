@@ -41,6 +41,11 @@ def main():
     parser.add_argument("--max-iters", type=int, default=24)
     parser.add_argument("--gens-per-dispatch", type=int, default=4)
     parser.add_argument("--crop-len", type=int, default=262144)
+    parser.add_argument(
+        "--encoder", default="examples/pst_demo_full/run/encoder.npz",
+        help="trained encoder npz (produced by scripts/regen_pst_artifact.sh)"
+             " — gives the run a REAL objective landscape; falls back to a"
+             " random-weight faithful Cnn14 when the file is absent")
     args = parser.parse_args()
 
     import jax
@@ -62,7 +67,9 @@ def main():
     print(f"input: {x.shape[-1] / sr:.1f} s stereo @ {sr} Hz")
 
     chain = basic_chain()
-    model = load_param_model(allow_random=True)
+    enc = args.encoder if os.path.isfile(args.encoder) else None
+    model = load_param_model(ckpt_path=enc, allow_random=True)
+    print(f"encoder: {'trained ' + enc if enc else 'random weights'}")
     # jit the whole target prep: build_render_fn returns an UNJITTED pure
     # function and eager op-by-op dispatch is unimplemented on the relay
     # TPU backend (errors surface asynchronously at the next fetch)
@@ -89,13 +96,24 @@ def main():
     )
     wall = time.time() - t0
 
-    # Every compile must happen during the FIRST dispatch block: a chunked
-    # run that recompiled per generation/block would show events spread
-    # across the whole wall-clock window.
+    # Every LOOP compile must happen during the first dispatch block: a
+    # chunked run that recompiled per generation/block would show compile
+    # STARTS of population-shaped programs spread across the whole window.
+    # Three kinds of late events are legitimate and excluded: "Finished..."
+    # stragglers of compiles that started in block 1 (the device-ES block
+    # takes ~70 s to compile through the relay), the end-of-run
+    # full-length output render (a fresh jit instance at single-candidate
+    # shapes, by design), and its scalar/broadcast glue.
     n_blocks = -(-args.max_iters // args.gens_per_dispatch)
     first_block_end = t0 + (wall / n_blocks) * 1.5
-    late = [(t - t0, m) for t, m in counter.events if t > first_block_end]
-    assert not late, f"recompiles after the first block: {late}"
+    late_all = [(t - t0, m) for t, m in counter.events if t > first_block_end]
+    late_bad = [
+        (dt, m) for dt, m in late_all
+        if m.startswith("Compiling")
+        and ("jit(run)" in m or f"float32[{args.popsize}," in m
+             or f"float32[{args.popsize}]" in m)
+    ]
+    assert not late_bad, f"loop recompiles after the first block: {late_bad}"
 
     report = {
         "seconds": x.shape[-1] / sr,
@@ -109,8 +127,10 @@ def main():
         "f_identity_gap": float(result["fval_history"][0]
                                 - result["fopt"]),
         "output_len": int(np.asarray(result["output_audio"]).shape[-1]),
+        "encoder": ("trained:" + args.encoder) if enc else "random",
         "compile_events": len(counter.events),
-        "late_compile_events": 0,
+        "late_compile_events": len(late_all),
+        "late_loop_recompiles": 0,
         "platform": jax.devices()[0].platform,
         "fval_history": [round(float(v), 6)
                          for v in result["fval_history"]],
