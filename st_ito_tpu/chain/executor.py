@@ -92,9 +92,19 @@ def build_batched_render_fn(
     fft_mode: str = "auto",
     fft_precision: str = "high",
     max_lti_pad: int | None = None,
+    out_rows_hop: int | None = None,
 ):
     """The population renderer: render(W (B, P), x) -> (B, C_out, T), with
     x either (C, T) shared across candidates or (B, C, T) per-candidate.
+
+    ``out_rows_hop``: when the chain ENDS in a fused-LTI group executed by
+    the mega inverse kernel whose native row width n2 equals this hop,
+    return the hop-blocked rows form (B, C_out, T // hop, hop) instead of
+    flattening — the (B, C, T) retile (~10 ms/gen at pop 512 / T 2^18)
+    exists only so a hop-framing consumer (Cnn14's STFT,
+    frame_signal_rows) can split it back into the same rows. Callers must
+    accept BOTH ranks: any shape/ordering mismatch falls back to the flat
+    contract.
 
     TPU-native structure (this is where the reference's serial per-candidate
     C++ loop becomes one XLA program):
@@ -207,7 +217,8 @@ def build_batched_render_fn(
             shared = False
         T = x.shape[-1]
 
-        for kind, idxs in plan:
+        for plan_i, (kind, idxs) in enumerate(plan):
+            is_last = plan_i == len(plan) - 1
             stages = [slices[i] for i in idxs]
             # static channel promotion before the first stereo stage
             ch_axis = 0 if shared else 1
@@ -292,16 +303,22 @@ def build_batched_render_fn(
                     rp_stages.append((stage.effect, params, active))
                 from st_ito_tpu.ops.pallas import mega_fft
 
+                # rows form only when nothing downstream needs (B, C, T):
+                # this must be the chain's final group and the inverse
+                # kernel's row width n2 must divide the consumer's hop
+                rows = bool(out_rows_hop and is_last
+                            and out_rows_hop % mega_fft._radix(n)[1] == 0
+                            and T % out_rows_hop == 0)
                 if (fft_mode == "mega2" and mega_fft.supported(n, T)
                         and B % 8 == 0):
                     x = mega_fft.packed_lti_apply_mega2(
                         x, rp_stages, n, sample_rate,
-                        precision=fft_precision)
+                        precision=fft_precision, rows=rows)
                 elif (fft_mode == "mega" and mega_fft.supported(n, T)
                         and B % 8 == 0):
                     x = mega_fft.packed_lti_apply_mega(
                         x, rp_stages, n, sample_rate,
-                        precision=fft_precision)
+                        precision=fft_precision, rows=rows)
                 else:
                     x = packed_lti_apply_rp(x, rp_stages, n, sample_rate,
                                             precision=fft_precision,
@@ -337,7 +354,8 @@ def build_batched_render_fn(
                 x = jnp.fft.irfft(Y, n=n, axis=-1)[..., :T].astype(x.dtype)
 
         if peak_normalize_output:
-            peak = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
+            axes = (-3, -2, -1) if x.ndim == 4 else (-2, -1)
+            peak = jnp.max(jnp.abs(x), axis=axes, keepdims=True)
             x = x / jnp.maximum(peak, 1e-8)
         return x
 

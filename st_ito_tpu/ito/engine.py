@@ -183,12 +183,26 @@ def make_fitness_fn(
             and (content_model is None
                  or getattr(content_embed_func, "peak_normalizes_input",
                             False)))
+        # rows contract: when the embed can frame hop-blocked rows
+        # directly (get_param_embeds -> Cnn14), ask the renderer for its
+        # native (B, C, T // hop, hop) output — the (B, C, T) flatten
+        # retile after the fused-LTI inverse kernel disappears. The
+        # renderer falls back to flat whenever shapes/ordering don't
+        # qualify, and the embed accepts both ranks.
+        rows_hop = None
+        if (getattr(embed_func, "supports_rows", False)
+                and not return_audio
+                and content_model is None
+                and getattr(getattr(model, "config", None), "hop_size", None)
+                and sample_rate == int(model.config.sample_rate)):
+            rows_hop = int(model.config.hop_size)
         render = build_batched_render_fn(chain, sample_rate, num_channels,
                                          fast=renderer_fast,
                                          fft_mode=fft_mode,
                                          fft_precision=fft_precision,
                                          peak_normalize_output=not skip_norm,
-                                         max_lti_pad=max_lti_pad)
+                                         max_lti_pad=max_lti_pad,
+                                         out_rows_hop=rows_hop)
 
     # Host-side metric backends (CLAP / wav2vec2 torch wrappers, marked
     # with .host_side) cannot trace into the jitted program: render on

@@ -222,10 +222,16 @@ def _logmel_frontend(x, config: Cnn14Config, mel_matrix, window):
     matrix product on the MXU (see ops/stft.py:dft_power_matmul) — XLA's
     batched small FFT is several times slower; the f32/parity path keeps
     the exact FFT."""
-    from st_ito_tpu.ops.stft import dft_power_matmul, frame_signal
+    from st_ito_tpu.ops.stft import (dft_power_matmul, frame_signal,
+                                     frame_signal_rows)
 
     n_fft, hop = config.window_size, config.hop_size
-    frames = frame_signal(x, n_fft, hop, center=True) * window
+    if x.ndim == 3:
+        # hop-blocked rows form (N, R, hop) straight from the renderer —
+        # framing never flattens (see frame_signal_rows)
+        frames = frame_signal_rows(x, n_fft, hop, center=True) * window
+    else:
+        frames = frame_signal(x, n_fft, hop, center=True) * window
     if config.compute_dtype == "bfloat16":
         S = dft_power_matmul(frames)
     else:
@@ -243,13 +249,24 @@ def cnn14_apply(
     rng: jax.Array | None = None,
     return_stats: bool = False,
 ):
-    """Forward pass. x: (batch, chs, T) with chs in {1, 2}.
+    """Forward pass. x: (batch, chs, T) with chs in {1, 2} — or the
+    hop-blocked rows form (batch, chs, R, hop_size) the fused-LTI
+    renderer can emit (identical math; the frontend frames rows directly
+    and the (B, C, T) flatten retile never happens).
     Returns (mid_embed, side_embed), each (batch, embed_dim); with
     return_stats=True in training mode, also a pytree of updated BatchNorm
     running statistics to merge into the params (pure-functional stand-in
     for torch's in-place running-stat updates).
     """
-    batch, chs, seq_len = x.shape
+    rows = x.ndim == 4
+    if rows:
+        if config.hop_size % x.shape[-1]:
+            raise ValueError(f"rows input row length must divide hop_size "
+                             f"({config.hop_size}), got {x.shape[-1]}")
+        batch, chs, n_rows, row_len = x.shape
+        seq_len = n_rows * row_len
+    else:
+        batch, chs, seq_len = x.shape
 
     # Static shape guard: 6 conv blocks pool time 2x each (the last block
     # pools only in the torch layout when pool_size covers it — 5 pools
@@ -265,10 +282,11 @@ def cnn14_apply(
             f"sample_rate={config.sample_rate}, hop={config.hop_size})")
 
     if chs == 2:
-        x_mid = (x[:, 0, :] + x[:, 1, :]) / 2.0
-        x_side = (x[:, 0, :] - x[:, 1, :]) / 2.0
+        x_mid = (x[:, 0] + x[:, 1]) / 2.0
+        x_side = (x[:, 0] - x[:, 1]) / 2.0
         x = jnp.stack([x_mid, x_side], axis=1)
-    x = x.reshape(batch * chs, seq_len)
+    x = (x.reshape(batch * chs, n_rows, row_len) if rows
+         else x.reshape(batch * chs, seq_len))
 
     mel_matrix = mel_filterbank(
         config.sample_rate, config.window_size, config.mel_bins,

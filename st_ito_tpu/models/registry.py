@@ -128,9 +128,12 @@ def _l2_normalize(e: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
 def _param_embed_core(params, x, rng, config: Cnn14Config, in_sr: int,
                       peak_normalize: bool, dropout: float):
     if in_sr != int(config.sample_rate):
+        if x.ndim == 4:  # rows form carries no benefit through a resample
+            x = x.reshape(*x.shape[:2], -1)
         x = resample(x, in_sr, int(config.sample_rate))
     if peak_normalize:
-        peak = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
+        peak = jnp.max(jnp.abs(x), axis=tuple(range(1, x.ndim)),
+                       keepdims=True)
         x = x / jnp.maximum(peak, 1e-8)
     mid, side = cnn14_apply(params, x, config, training=False)
     if dropout > 0.0 and rng is not None:
@@ -180,6 +183,9 @@ def get_param_embeds(
 # layout (~4x sublane padding at C=2). Scale invariance makes the two
 # paths equal: embed(y / max|y|) == embed(y).
 get_param_embeds.peak_normalizes_input = True
+# accepts the renderer's hop-blocked rows form (bs, chs, R, hop_size) in
+# place of (bs, chs, T) — same math, no flatten retile (cnn14_apply)
+get_param_embeds.supports_rows = True
 
 
 def get_param_embeds_chunked(

@@ -484,13 +484,18 @@ def fwd_pack_fft_response(x: jnp.ndarray, stages, n: int,
     return outs
 
 
-@partial(jax.jit, static_argnames=("n", "T", "precision", "interpret"))
+@partial(jax.jit, static_argnames=("n", "T", "precision", "interpret",
+                                   "rows"))
 def inv_unpack_fft(YloR, YloI, YhigR, YhigI, n: int, T: int,
-                   precision: str = "high", interpret: bool = False):
+                   precision: str = "high", interpret: bool = False,
+                   rows: bool = False):
     """(Ylo, Yhig) half-grid arrays (B, Rp, n1) -> y (B, 2, T) float32,
     the scaled inverse FFT's (L, R) = (re, im) unpacking. Junk lanes
     (bins > n/2 in Ylo, the k=0/Nyquist duplicates in Yhig, pad rows)
-    are masked inside the kernel."""
+    are masked inside the kernel. ``rows=True`` returns the kernel's
+    native (B, 2, Tr, n2) hop-blocked form instead — skipping the
+    (B, 2, T) flatten retile for consumers that frame by rows
+    (frame_signal_rows)."""
     B = YloR.shape[0]
     if not supported(n, T):
         raise ValueError(f"mega_fft: unsupported (n={n}, T={T})")
@@ -516,6 +521,8 @@ def inv_unpack_fft(YloR, YloI, YhigR, YhigI, n: int, T: int,
         interpret=interpret,
         **_vmem_params(interpret),
     )(*Y, *tables)
+    if rows:
+        return y
     return y.reshape(B, 2, T)
 
 
@@ -526,6 +533,7 @@ def packed_lti_apply_mega(
     sample_rate: float,
     precision: str = "high",
     interpret: bool = False,
+    rows: bool = False,
 ) -> jnp.ndarray:
     """Full fused-LTI group application: fwd_pack_fft -> fused response
     kernel -> inv_unpack_fft. Drop-in alternative to
@@ -551,7 +559,7 @@ def packed_lti_apply_mega(
         ZlR, ZlI, ZvR, ZvI, stages, n, sample_rate, F, Fp,
         interpret=interpret)
     return inv_unpack_fft(YlR, YlI, YvR, YvI, n, T, precision=inv_prec,
-                          interpret=interpret)
+                          interpret=interpret, rows=rows)
 
 
 def packed_lti_apply_mega2(
@@ -561,6 +569,7 @@ def packed_lti_apply_mega2(
     sample_rate: float,
     precision: str = "high",
     interpret: bool = False,
+    rows: bool = False,
 ) -> jnp.ndarray:
     """Two-kernel fused-LTI group: (forward FFT + response) -> inverse FFT.
     Same semantics as packed_lti_apply_mega with the middle kernel's eight
@@ -575,4 +584,4 @@ def packed_lti_apply_mega2(
     YlR, YlI, YvR, YvI = fwd_pack_fft_response(
         x, stages, n, sample_rate, precision=fwd_prec, interpret=interpret)
     return inv_unpack_fft(YlR, YlI, YvR, YvI, n, T, precision=inv_prec,
-                          interpret=interpret)
+                          interpret=interpret, rows=rows)

@@ -54,6 +54,54 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> j
     return jnp.take(x, idx, axis=-1)
 
 
+def frame_signal_rows(xr: jnp.ndarray, n_fft: int, hop: int,
+                      center: bool = True) -> jnp.ndarray:
+    """(..., R, L) row-blocked signal -> (..., n_frames, n_fft) frames,
+    identical to frame_signal(xr.reshape(..., R*L), ...) for the
+    50%-overlap config (n_fft == 2*hop, hop % L == 0) WITHOUT ever
+    flattening the signal.
+
+    Why: the fused-LTI inverse FFT kernel emits audio as (B, C, Tr, n2)
+    row blocks; flattening to (B, C, T) is a pure XLA retile pass
+    (~10 ms/gen on the ES hot path) that exists only so this function can
+    reshape the signal straight back into hop blocks. The rows form keeps
+    the kernel's layout end-to-end: with m = hop // L rows per hop, each
+    frame is a lane-concat of 2m row slices strided by m, and the center
+    reflect-pad is m constructed rows on each side (built flat at hop
+    length — a few KB — then split into rows).
+    """
+    L = xr.shape[-1]
+    if n_fft != 2 * hop or hop % L or xr.shape[-2] * L < n_fft:
+        raise ValueError(f"frame_signal_rows needs n_fft == 2*hop, row "
+                         f"length dividing hop={hop} and >= n_fft samples; "
+                         f"got rows ({xr.shape[-2]}, {L}), n_fft={n_fft}")
+    m = hop // L
+    if center:
+        # reflect pad of the flat signal, expressed in rows: front =
+        # reverse(x[1 : hop+1]), back = reverse(x[T-1-hop : T-1]); each is
+        # built as a flat hop-length vector (crossing row boundaries with
+        # a 1-element offset) and split into m rows
+        lead = xr.shape[:-2]
+        fparts = [xr[..., 0, 1:]]
+        if m > 1:
+            fparts.append(xr[..., 1:m, :].reshape(*lead, (m - 1) * L))
+        fparts.append(xr[..., m, :1])
+        front = jnp.flip(jnp.concatenate(fparts, axis=-1),
+                         axis=-1).reshape(*lead, m, L)
+        bparts = [xr[..., -m - 1, -1:]]
+        if m > 1:
+            bparts.append(xr[..., -m:-1, :].reshape(*lead, (m - 1) * L))
+        bparts.append(xr[..., -1, :-1])
+        back = jnp.flip(jnp.concatenate(bparts, axis=-1),
+                        axis=-1).reshape(*lead, m, L)
+        xr = jnp.concatenate([front, xr, back], axis=-2)
+    R = xr.shape[-2]
+    n_frames = (R * L - n_fft) // hop + 1
+    last = (n_frames - 1) * m  # row index of the last frame's j-th slice
+    parts = [xr[..., j:j + last + 1:m, :] for j in range(2 * m)]
+    return jnp.concatenate(parts, axis=-1)
+
+
 def dft_power_matmul(frames: jnp.ndarray,
                      compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Power spectrum ``|rfft(frames)|**2`` via two MXU matrix products.

@@ -144,3 +144,37 @@ def test_too_short_input_raises_clear_error():
     # shortest legal length still works
     mid, _ = cnn14_apply(params, jnp.zeros((1, 2, 31 * 1024), jnp.float32), cfg)
     assert mid.shape == (1, 32)
+
+
+def test_rows_input_matches_flat_input():
+    """cnn14_apply / get_param_embeds accept the renderer's hop-blocked
+    rows form (bs, chs, R, hop) and must produce exactly the flat-input
+    embeddings (frame_signal_rows is a bit-exact reframing)."""
+    import jax
+
+    from st_ito_tpu.models.cnn14 import Cnn14Config
+    from st_ito_tpu.models.registry import get_param_embeds, load_param_model
+
+    model = load_param_model(allow_random=True)
+    # shrink: a tiny twin config keeps the CPU test fast
+    cfg = Cnn14Config(embed_dim=32, base_channels=8)
+    from st_ito_tpu.models.cnn14 import init_cnn14_params
+
+    params = init_cnn14_params(jax.random.PRNGKey(0), cfg)
+    model = type(model)(params=params, config=cfg)
+    hop = cfg.hop_size
+    R = 40
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 2, R * hop)).astype(np.float32) * 0.4
+    e_flat = get_param_embeds(jnp.asarray(x), model, cfg.sample_rate)
+    e_rows = get_param_embeds(jnp.asarray(x.reshape(2, 2, R, hop)), model,
+                              cfg.sample_rate)
+    # half-hop rows (the mega inverse's n2 = hop/2 case, m = 2)
+    e_rows2 = get_param_embeds(
+        jnp.asarray(x.reshape(2, 2, 2 * R, hop // 2)), model,
+        cfg.sample_rate)
+    for k in e_flat:
+        np.testing.assert_allclose(np.asarray(e_flat[k]),
+                                   np.asarray(e_rows[k]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(e_flat[k]),
+                                   np.asarray(e_rows2[k]), atol=1e-6)

@@ -163,3 +163,21 @@ def test_packed_lti_mega2_matches_mega():
     y_mega2 = packed_lti_apply_mega2(x, stages_a, N, 48000, interpret=True)
     np.testing.assert_allclose(np.asarray(y_mega2), np.asarray(y_mega),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_rows_output_matches_flat_reshape():
+    """rows=True returns the inverse kernel's native (B, 2, Tr, n2) form;
+    it must be exactly the flat output reshaped (the flatten retile the
+    rows contract deletes carries no arithmetic)."""
+    from st_ito_tpu.ops.pallas.mega_fft import _radix, packed_lti_apply_mega2
+
+    B = 8
+    n2 = _radix(N)[1]
+    x = jnp.asarray(_stereo(B, T))
+    stages = _demo_stages(B)
+    y_flat = packed_lti_apply_mega2(x, stages, N, 48000, interpret=True)
+    y_rows = packed_lti_apply_mega2(x, stages, N, 48000, interpret=True,
+                                    rows=True)
+    assert y_rows.shape == (B, 2, T // n2, n2)
+    np.testing.assert_array_equal(np.asarray(y_rows.reshape(B, 2, T)),
+                                  np.asarray(y_flat))
